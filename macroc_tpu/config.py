@@ -1,0 +1,265 @@
+"""Typed configuration + PETSc-options-compatible CLI parsing.
+
+Replaces the reference's PETSc options database (reference: src/init.c:47-83)
+with an immutable dataclass.  The same flag names are honored so reference
+launch lines work unchanged (e.g. ``-da_grid_x 5 -ts 5 -bc_type 0``).
+
+Compiled-in defaults replicate include/macroc.h:36-51 and src/init.c:29-64
+exactly (grid 40x3x40, box 50x1x50, dt=1e-3, ts=1, U_MAX=-1, BC_CIRCLE, ...).
+Note the reference README documents different defaults (grid 10, lx 10) and
+the flags ``-new_its``/``-new_tol`` — the code ignores those; code behavior
+wins (see SURVEY.md §5.6), and so does this implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# Boundary-condition cases (reference: include/macroc.h:58)
+BC_BENDING = 0
+BC_CIRCLE = 1
+
+# Micro-structure geometry types (reference: src/init.c:37-45)
+MIC_HOMOGENEOUS = -1  # extension: bypass micro geometry, single material
+MIC_SPHERE = 0
+MIC_LAYER_Y = 1
+MIC_CILI_FIB_Z = 3
+MIC_CILI_FIB_XZ = 4
+MIC_QUAD_FIB_XYZ = 5
+MIC_QUAD_FIB_XZ = 6
+MIC_QUAD_FIB_XZ_BROKEN_X = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialParams:
+    """One material entry (reference: micropp_C_material_set, src/init.c:196-201).
+
+    Fields map to (E, nu, Sy, Ka) with plasticity enabled, matching the
+    hard-coded ``plastic=1`` in the reference call sites.
+    """
+
+    E: float = 1.0e7
+    nu: float = 0.25
+    Sy: float = 1.0e4
+    Ka: float = 1.0e7
+    plastic: bool = True
+
+    @property
+    def lam(self) -> float:
+        """First Lamé parameter."""
+        return self.E * self.nu / ((1.0 + self.nu) * (1.0 - 2.0 * self.nu))
+
+    @property
+    def mu(self) -> float:
+        """Shear modulus."""
+        return self.E / (2.0 * (1.0 + self.nu))
+
+
+@dataclasses.dataclass(frozen=True)
+class MacroConfig:
+    """Immutable run configuration.
+
+    Defaults replicate include/macroc.h:36-51 + src/init.c:29-64,141.
+    """
+
+    # Grid (nodes per direction) — reference NX/NY/NZ (macroc.h:44-46)
+    nx: int = 40
+    ny: int = 3
+    nz: int = 40
+    # Physical box — reference LX/LY/LZ (macroc.h:47-49)
+    lx: float = 50.0
+    ly: float = 1.0
+    lz: float = 50.0
+
+    # Time stepping — macroc.h:40-43
+    dt: float = 0.001
+    ts: int = 1
+    final_time: float = 1.0
+    u_max: float = -1.0
+
+    # Newton — macroc.h:36-38
+    newton_max_its: int = 5
+    newton_min_tol: float = 1.0e-1
+    newton_rel_tol: float = 1.0e-4
+
+    # Linear solver — src/init.c:146-157
+    ksp_type: str = "cg"  # {"cg", "gmres"}
+    pc_type: str = "jacobi"  # {"none", "jacobi", "bjacobi"}
+    ksp_rtol: float = 1.0e-5
+    ksp_abstol: float = 1.0e-50
+    ksp_dtol: float = 1.0e4
+    ksp_maxits: int = 10000
+    gmres_restart: int = 30
+
+    # BCs — src/init.c:64,141
+    bc_type: int = BC_CIRCLE
+    rad: float = 1.0
+
+    # Micro scale — src/init.c:29-32,80-83,210-213
+    micro_n: int = 2
+    micro_type: int = MIC_LAYER_Y
+    micro_mat_1: MaterialParams = dataclasses.field(default_factory=MaterialParams)
+    micro_mat_2: MaterialParams = dataclasses.field(default_factory=MaterialParams)
+    micro_params: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 0.5)
+    # Constitutive engine: "j2" (closed-form J2 plasticity; exact for the
+    # default homogeneous micro), "elastic", or "microfe" (batched micro-FE
+    # homogenization — the full FE² path).
+    constitutive: str = "j2"
+
+    # Output — macroc.h:42
+    vtu_freq: int = -1
+    output_dir: str = "."
+
+    # Device decomposition — reference -da_processors_{x,y,z} (README.md:52-54).
+    # None = decide from available devices (PETSC_DECIDE equivalent).
+    procs_x: Optional[int] = None
+    procs_y: Optional[int] = None
+    procs_z: Optional[int] = None
+
+    # Numerics knobs (TPU-native additions)
+    dtype: str = "float32"  # storage/compute dtype: "float32" | "float64"
+    # Replicate the reference's calc_B unit-element quirk (assembly.c:198):
+    # shape-function derivatives always use dx=dy=dz=1 while the quadrature
+    # weight uses the real spacing.  True = bit-compatible with reference.
+    ref_b_quirk: bool = True
+    # Operator form for the Krylov solve: "stencil" (assembled 27-point BSR)
+    # or "matfree" (element-loop action, no assembled matrix).
+    operator: str = "stencil"
+
+    # Checkpoint / resume (TPU-native addition; reference has none, SURVEY §5.4)
+    checkpoint_freq: int = -1
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False
+
+    @property
+    def nex_global(self) -> int:
+        return self.nx - 1
+
+    @property
+    def ney_global(self) -> int:
+        return self.ny - 1
+
+    @property
+    def nez_global(self) -> int:
+        return self.nz - 1
+
+    @property
+    def dx(self) -> float:
+        # reference: src/init.c:137-139
+        return self.lx / (self.nx - 1)
+
+    @property
+    def dy(self) -> float:
+        return self.ly / (self.ny - 1)
+
+    @property
+    def dz(self) -> float:
+        return self.lz / (self.nz - 1)
+
+    @property
+    def wg(self) -> float:
+        """Gauss weight = element volume / 8 (reference: src/init.c:140)."""
+        return self.dx * self.dy * self.dz / 8.0
+
+    def displacement(self, time_s: int) -> float:
+        """Load-ramp U(t) = U_MAX * t/T (reference: src/bcs.c:52-58 intent)."""
+        return self.u_max * (time_s * self.dt) / self.final_time
+
+
+_INT_FLAGS = {
+    "-da_grid_x": "nx",
+    "-da_grid_y": "ny",
+    "-da_grid_z": "nz",
+    "-da_processors_x": "procs_x",
+    "-da_processors_y": "procs_y",
+    "-da_processors_z": "procs_z",
+    "-ts": "ts",
+    "-vtu_freq": "vtu_freq",
+    "-newton_max_its": "newton_max_its",
+    "-bc_type": "bc_type",
+    "-micro_n": "micro_n",
+    "-micro_type": "micro_type",
+    "-ksp_max_it": "ksp_maxits",
+    "-ksp_gmres_restart": "gmres_restart",
+    "-checkpoint_freq": "checkpoint_freq",
+}
+
+_REAL_FLAGS = {
+    "-dt": "dt",
+    "-lx": "lx",
+    "-ly": "ly",
+    "-lz": "lz",
+    "-newton_min_tol": "newton_min_tol",
+    "-newton_rel_tol": "newton_rel_tol",
+    "-ksp_rtol": "ksp_rtol",
+    "-ksp_atol": "ksp_abstol",
+    "-ksp_divtol": "ksp_dtol",
+    "-rad": "rad",
+}
+
+_STR_FLAGS = {
+    "-ksp_type": "ksp_type",
+    "-pc_type": "pc_type",
+    "-constitutive": "constitutive",
+    "-dtype": "dtype",
+    "-operator": "operator",
+    "-output_dir": "output_dir",
+    "-checkpoint_dir": "checkpoint_dir",
+}
+
+
+def _parse_material(tok: str) -> MaterialParams:
+    """Parse '-micro_mat_N E,nu,Sy,Ka' array syntax (PetscOptionsGetRealArray)."""
+    vals = [float(v) for v in tok.replace(" ", "").split(",") if v]
+    fields = ["E", "nu", "Sy", "Ka"]
+    return MaterialParams(**dict(zip(fields, vals)))
+
+
+def parse_cli(argv: Sequence[str], base: Optional[MacroConfig] = None) -> MacroConfig:
+    """Parse a PETSc-style flag list into a MacroConfig.
+
+    Unknown flags are ignored, matching the PETSc options database's tolerance
+    (which is what makes the reference silently ignore ``-new_its``; see
+    SURVEY.md §5.6).
+    """
+    cfg = dataclasses.asdict(base or MacroConfig())
+    # dataclasses.asdict deep-converts nested dataclasses; restore them.
+    cfg["micro_mat_1"] = (base or MacroConfig()).micro_mat_1
+    cfg["micro_mat_2"] = (base or MacroConfig()).micro_mat_2
+    cfg["micro_params"] = tuple(cfg["micro_params"])
+
+    i = 0
+    argv = list(argv)
+    while i < len(argv):
+        tok = argv[i]
+        nxt = argv[i + 1] if i + 1 < len(argv) else None
+        if tok in _INT_FLAGS and nxt is not None:
+            cfg[_INT_FLAGS[tok]] = int(nxt)
+            i += 2
+        elif tok in _REAL_FLAGS and nxt is not None:
+            cfg[_REAL_FLAGS[tok]] = float(nxt)
+            i += 2
+        elif tok in _STR_FLAGS and nxt is not None:
+            cfg[_STR_FLAGS[tok]] = str(nxt)
+            i += 2
+        elif tok == "-micro_mat_1" and nxt is not None:
+            cfg["micro_mat_1"] = _parse_material(nxt)
+            i += 2
+        elif tok == "-micro_mat_2" and nxt is not None:
+            cfg["micro_mat_2"] = _parse_material(nxt)
+            i += 2
+        elif tok == "-micro_params" and nxt is not None:
+            cfg["micro_params"] = tuple(
+                float(v) for v in nxt.replace(" ", "").split(",") if v
+            )
+            i += 2
+        elif tok == "-ref_b_quirk" and nxt is not None:
+            cfg["ref_b_quirk"] = nxt.lower() in ("1", "true", "yes")
+            i += 2
+        elif tok == "-resume":
+            cfg["resume"] = True
+            i += 1
+        else:
+            i += 1  # ignore unknown flags (PETSc behavior)
+    return MacroConfig(**cfg)

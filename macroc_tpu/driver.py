@@ -1,0 +1,182 @@
+"""Simulation driver — the time loop with reference-compatible logging/IO.
+
+Orchestrates MacroProblem.time_step over ``ts`` steps (reference:
+src/main.c:49-108), producing:
+  - stdout narrative in the reference's format (the golden-diff oracle:
+    per-Newton-iteration |RES|, per-solve KSP its/rnorm, per-step force,
+    f_trial_max, non-linear GP count);
+  - info.dat + gauss_evolution.dat rows;
+  - optional VTU/PVTU output every vtu_freq steps (main.c:100-108);
+  - optional orbax-style checkpointing of (u, internal-var state, step) —
+    a TPU-native addition; the reference has no restart (SURVEY.md §5.4).
+
+The device work per step is ONE jit call; everything here is logging.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from macroc_tpu.config import BC_BENDING, BC_CIRCLE, MacroConfig
+from macroc_tpu.fem.kernels import compute_strains
+from macroc_tpu.forces import per_rank_nonlinear_counts
+from macroc_tpu.io import GaussEvolutionWriter, InfoWriter, write_pvtu
+from macroc_tpu.problem import MacroProblem
+from macroc_tpu.utils import checkpoint as ckpt
+
+
+class Simulation:
+    def __init__(
+        self,
+        cfg: MacroConfig,
+        n_devices: int = 1,
+        log: Optional[Callable[[str], None]] = None,
+    ):
+        self.cfg = cfg
+        self.problem = MacroProblem(cfg, n_devices=n_devices)
+        self.grid = self.problem.grid
+        self._log = log if log is not None else lambda s: print(s, end="")
+
+    # ------------------------------------------------------------------ #
+    def log_banner(self):
+        cfg, g = self.cfg, self.grid
+        L = self._log
+        L("\nMacroC-TPU : A TPU-native framework for FE2 Multi-scale "
+          "Simulations\n\n")
+        bc_name = {BC_BENDING: "BC_BENDING", BC_CIRCLE: "BC_CIRCLE"}.get(
+            cfg.bc_type, "?"
+        )
+        L(f"Boundary Condition : {bc_name}\n")
+        L(f"Number of Devices  : {g.nproc}\n")
+        L(f"Number of Elements : {g.nelem_global}\n")
+        L(f"Number of Nodes    : {g.nnodes}\n")
+        L(f"Number of DOFs     : {g.ndof}\n\n")
+        px, py, pz = g.procs
+        L(f"NP_X : {px}\tNP_Y : {py}\tNP_Z : {pz}\n")
+        L(f"NX   : {g.nx}\tNY   : {g.ny}\tNZ   : {g.nz}\n\n")
+        L(
+            f"KSP Info: type = {cfg.ksp_type}\trtol = {cfg.ksp_rtol:e}\t"
+            f"abstol = {cfg.ksp_abstol:e}\tdtol = {cfg.ksp_dtol:e}\t"
+            f"maxits = {cfg.ksp_maxits}\n\n"
+        )
+        for r in range(g.nproc):
+            b = g.local_box(r)
+            L(f"rank:{r}\tne:{b.nelem}\tnex:{b.nex}\tney:{b.ney}\tnez:{b.nez}\n")
+        mn, mx, imb = g.load_imbalance()
+        L(f"Min : {mn} Max : {mx} Unbalance (Max - Min) / Max = {imb:3.1f} %\n")
+        L("Material Values : \n")
+        for mat in (cfg.micro_mat_1, cfg.micro_mat_2):
+            L(
+                f"E = {mat.E:e} nu = {mat.nu:e} Sy = {mat.Sy:e} "
+                f"Ka = {mat.Ka:e} plastic = {int(mat.plastic)}\n"
+            )
+
+    # ------------------------------------------------------------------ #
+    def run(self) -> dict:
+        cfg = self.cfg
+        L = self._log
+        self.log_banner()
+        L(
+            "------------------------------------------------------------\n"
+            "STARTING CALCULATION...\n"
+            "------------------------------------------------------------\n"
+        )
+
+        u, state = self.problem.init_fields()
+        start_step = 0
+        if cfg.resume:
+            loaded = ckpt.load_latest(cfg.checkpoint_dir, (u, state))
+            if loaded is not None:
+                start_step, (u, state) = loaded
+                L(f"Resumed from checkpoint at step {start_step}\n")
+
+        info = InfoWriter(os.path.join(cfg.output_dir, "info.dat"))
+        gauss = GaussEvolutionWriter(
+            os.path.join(cfg.output_dir, "gauss_evolution.dat")
+        )
+
+        t1 = time.time()
+        history = []
+        for time_s in range(start_step, cfg.ts):
+            L(f"\n\nTime Step = {time_s}\n")
+            U = cfg.displacement(time_s)
+            u, state, diag = self.problem.time_step_jit(
+                u, state, np.asarray(U, dtype=self.problem.dtype)
+            )
+
+            # --- host-side logging from the diagnostics arrays ---
+            res_norms = np.asarray(diag.res_norms)
+            ksp_its = np.asarray(diag.ksp_its)
+            ksp_rnorms = np.asarray(diag.ksp_rnorms)
+            nhom = int(diag.n_homogenize)
+            nsolv = int(diag.n_solves)
+            for it in range(nhom):
+                L(f"\nNewton Iteration = {it}\n")
+                L("Homogenizing MicroPP\n")
+                L("Assemblying RHS\n")
+                L(f"|RES| = {res_norms[it]:e}\n")
+                if it < nsolv:
+                    L(
+                        f"KSP : |Ax - b|/|Ax| = {ksp_rnorms[it]:e}\t"
+                        f"Its = {ksp_its[it]}\n"
+                    )
+
+            nl = np.asarray(diag.non_linear)
+            per_rank = per_rank_nonlinear_counts(nl, self.grid)
+            nl_gps = int(per_rank.sum())
+            L(f"Non-Linear Gauss points : {nl_gps}\n")
+            force = float(diag.force)
+            f_trial_max = float(diag.f_trial_max)
+            L(f"F_trial_max             : {f_trial_max:e}\n")
+
+            gauss.write_row(time_s, per_rank)
+            info.write_row(
+                time_s, time_s * cfg.dt, U, force, f_trial_max, nl_gps
+            )
+            history.append(
+                dict(
+                    ts=time_s,
+                    U=U,
+                    force=force,
+                    f_trial_max=f_trial_max,
+                    nl_gps=nl_gps,
+                    res_norms=res_norms[:nhom].tolist(),
+                    ksp_its=ksp_its[:nsolv].tolist(),
+                )
+            )
+
+            if cfg.vtu_freq > 0 and time_s % cfg.vtu_freq == 0:
+                strain = compute_strains(u, self.problem.B)
+                write_pvtu(
+                    f"solution_{time_s}",
+                    self.grid,
+                    np.asarray(u),
+                    np.asarray(diag.stress),
+                    np.asarray(strain),
+                    nl,
+                    np.asarray(diag.cost),
+                    self.grid.wg,
+                    outdir=cfg.output_dir,
+                )
+
+            if cfg.checkpoint_freq > 0 and (time_s + 1) % cfg.checkpoint_freq == 0:
+                ckpt.save(cfg.checkpoint_dir, time_s + 1, (u, state))
+
+        jax.block_until_ready(u)
+        t2 = time.time()
+        L(
+            "\n\n"
+            "------------------------------------------------------------\n"
+            "FINISHING CALCULATION...\n"
+            "------------------------------------------------------------\n"
+        )
+        L(f"Elapsed time : {t2 - t1:f}\n")
+        info.close()
+        gauss.close()
+        return dict(u=u, state=state, history=history, elapsed=t2 - t1)

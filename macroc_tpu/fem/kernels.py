@@ -1,0 +1,169 @@
+"""Batched element kernels on global node-centric arrays.
+
+The reference iterates rank-local elements one by one, pushing strains into
+MicroPP and pulling stresses/tangents back (src/assembly.c:25-176).  Here the
+whole element loop is a handful of einsums over dense arrays:
+
+  - displacement field  u : (nx, ny, nz, 3)          node-centric
+  - per-GP strain     eps : (nex, ney, nez, 8, 6)    element-centric
+  - per-GP stress     sig : (nex, ney, nez, 8, 6)
+  - per-GP tangent     C  : (nex, ney, nez, 8, 6, 6)
+  - global residual    f  : (nx, ny, nz, 3)
+  - stencil matrix    A27 : (nx, ny, nz, 27, 3, 3)   BSR over the static
+                                                     27-point node stencil
+
+Element gather = 8 shifted slices; residual scatter-add = 8 shifted
+`.at[].add`s (race-free by construction — no atomics, no coloring needed,
+unlike a GPU scatter formulation).  Everything is static-shaped and traced
+once under jit; XLA fuses the einsums and, under SPMD sharding, inserts the
+halo exchanges that DMGlobalToLocal/DMLocalToGlobal performed in the
+reference (assembly.c:40-41, 164-165).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from macroc_tpu.fem.element import DIM, NGP, NODE_OFFSETS, NPE, NVOI
+
+# Stencil offset table: offset index o <-> displacement (di,dj,dk) in
+# {-1,0,1}^3, ordered o = (di+1)*9 + (dj+1)*3 + (dk+1).  The self-coupling
+# (diagonal) block is offset 13.
+STENCIL_OFFSETS = np.array(
+    [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1) for dk in (-1, 0, 1)],
+    dtype=np.int64,
+)
+DIAG_OFFSET = 13
+N_STENCIL = 27
+
+
+def offset_index(di: int, dj: int, dk: int) -> int:
+    return (di + 1) * 9 + (dj + 1) * 3 + (dk + 1)
+
+
+def gather_element_dofs(u: jax.Array) -> jax.Array:
+    """(nx,ny,nz,3) -> (nex,ney,nez,8,3): nodal dofs of every element.
+
+    Equivalent of the per-element u_e gather at assembly.c:46-48, for all
+    elements at once via shifted slices.
+    """
+    nx, ny, nz = u.shape[:3]
+    nex, ney, nez = nx - 1, ny - 1, nz - 1
+    parts = [
+        u[di:di + nex, dj:dj + ney, dk:dk + nez, :]
+        for (di, dj, dk) in NODE_OFFSETS
+    ]
+    return jnp.stack(parts, axis=3)
+
+
+def compute_strains(u: jax.Array, B: jax.Array) -> jax.Array:
+    """Strain at all Gauss points of all elements: (nex,ney,nez,8,6).
+
+    eps[e, gp, v] = sum_{n,d} B[gp,v,n,d] * u_e[n,d]
+    (reference: set_strains, assembly.c:50-59).
+    """
+    u8 = gather_element_dofs(u)
+    return jnp.einsum("gvnd,xyznd->xyzgv", B, u8)
+
+
+def scatter_add_elements(fe: jax.Array, grid_shape: Tuple[int, int, int]) -> jax.Array:
+    """Scatter per-element nodal values (nex,ney,nez,8,3) into the global
+    node array (nx,ny,nz,3) by summation.
+
+    Equivalent of the local scatter-add + DMLocalToGlobal ADD_VALUES
+    (assembly.c:160-165).  Eight shifted adds; each output slice is written
+    by exactly one add per node position, so the op is deterministic and
+    race-free.
+    """
+    nx, ny, nz = grid_shape
+    nex, ney, nez = nx - 1, ny - 1, nz - 1
+    f = jnp.zeros((nx, ny, nz, fe.shape[-1]), dtype=fe.dtype)
+    for n, (di, dj, dk) in enumerate(NODE_OFFSETS):
+        f = f.at[di:di + nex, dj:dj + ney, dk:dk + nez, :].add(fe[..., n, :])
+    return f
+
+
+def assemble_residual(
+    stress: jax.Array, B: jax.Array, wg: float, grid_shape: Tuple[int, int, int]
+) -> jax.Array:
+    """Internal-force residual f = sum_e B^T sigma * wg, scattered to nodes.
+
+    Matches assembly_res *before* BC zeroing and negation
+    (assembly.c:142-165); the caller applies those (bc module / driver).
+    """
+    fe = jnp.einsum("gvnd,xyzgv->xyznd", B, stress) * wg
+    return scatter_add_elements(fe, grid_shape)
+
+
+def element_stiffness(ctan: jax.Array, B: jax.Array, wg: float) -> jax.Array:
+    """Dense element stiffness Ae: (nex,ney,nez,8,3,8,3).
+
+    Ae[n,d,m,e] = sum_gp sum_vw B[gp,v,n,d] C[gp,v,w] B[gp,w,m,e] * wg
+    (reference quadruple loop, assembly.c:94-99).  Only used for testing and
+    small problems — the production path assembles the stencil directly.
+    """
+    return jnp.einsum("gvnd,xyzgvw,gwme->xyzndme", B, ctan, B) * wg
+
+
+def assemble_diagonal(
+    ctan: jax.Array, B: jax.Array, wg: float, grid_shape: Tuple[int, int, int]
+) -> jax.Array:
+    """Point diagonal of the operator without assembling it (for Jacobi
+    preconditioning in matrix-free mode): diag contribution of element node n
+    dof d is sum_gp,vw B[gp,v,n,d] C[gp,v,w] B[gp,w,n,d] * wg, scattered."""
+    de = jnp.einsum("gvnd,xyzgvw,gwnd->xyznd", B, ctan, B) * wg
+    return scatter_add_elements(de, grid_shape)
+
+
+def matfree_matvec(ctan: jax.Array, B: jax.Array, wg: float,
+                   grid_shape: Tuple[int, int, int]):
+    """Matrix-free operator action y = (sum_e Be^T C Be) x — the unassembled
+    alternative to the stencil path (cross-check + low-memory option)."""
+
+    def mv(x):
+        eps = compute_strains(x, B)
+        sig = jnp.einsum("xyzgvw,xyzgw->xyzgv", ctan, eps)
+        return assemble_residual(sig, B, wg, grid_shape)
+
+    return mv
+
+
+def assemble_stencil(
+    ctan: jax.Array, B: jax.Array, wg: float, grid_shape: Tuple[int, int, int]
+) -> jax.Array:
+    """Assemble the 27-point block-stencil matrix A27: (nx,ny,nz,27,3,3).
+
+    A27[p, o, d, e] is the coupling of node p (dof d) to its neighbor at
+    stencil offset o (dof e).  Each element contributes 8x8 node-pair blocks;
+    the pair (a, b) lands at row-node (cell + off_a) and stencil offset
+    (off_b - off_a).  This is MatSetValuesLocal ADD_VALUES + MatAssembly
+    (assembly.c:102-110) collapsed into 64 shifted einsum-adds over a static
+    sparsity pattern — no dynamic preallocation, no assembly communication
+    (under SPMD, XLA inserts the reverse-halo adds).
+
+    The contraction per pair is BaC = einsum over gp,v once, reused across b.
+    """
+    nx, ny, nz = grid_shape
+    nex, ney, nez = nx - 1, ny - 1, nz - 1
+    A = jnp.zeros((nx, ny, nz, N_STENCIL, DIM, DIM), dtype=ctan.dtype)
+    # Pre-contract B^T C for each row node a: (a fixed) -> (xyz, gp, d, w)
+    for a in range(NPE):
+        Ba = B[:, :, a, :]  # (gp, v, d)
+        BaC = jnp.einsum("gvd,xyzgvw->xyzgdw", Ba, ctan)
+        oa = NODE_OFFSETS[a]
+        for b in range(NPE):
+            Bb = B[:, :, b, :]  # (gp, w, e)
+            block = jnp.einsum("xyzgdw,gwe->xyzde", BaC, Bb) * wg
+            ob = NODE_OFFSETS[b]
+            o = offset_index(ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+            A = A.at[
+                oa[0]:oa[0] + nex,
+                oa[1]:oa[1] + ney,
+                oa[2]:oa[2] + nez,
+                o, :, :,
+            ].add(block)
+    return A

@@ -1,0 +1,74 @@
+"""Reaction-force quantities of interest (reference: src/forces.c).
+
+Computed from the per-GP stress array of the last homogenize — exactly what
+the reference reads back from MicroPP after update_vars (main.c:91).
+
+BC_BENDING (forces.c:58-106): integrate sigma_xy (Voigt 3) over the last
+x-layer of elements: force = sum_{ey,ez,gp} sigma_xy * dy * dz.  (The
+reference sums the 8 GP stresses without dividing by NGP — replicated.)
+
+BC_CIRCLE (forces.c:115-166): integrate sigma_yy (Voigt 1) over last
+y-layer elements whose center column lies inside the circle:
+force = sum_{ex,ez in circle, gp} sigma_yy * dx * dz.
+
+Note: the reference's circle element test mixes ghost and owned corners
+(forces.c:130-131 uses DMDAGetGhostCorners for si/sk), which shifts the
+circle by one element on ranks not touching the low boundary — a
+decomposition-dependent quirk.  We implement the decomposition-independent
+(serial-rank) semantics, which is what the reference produces on the CTest
+oracle configs.
+
+The MPI_Reduce SUM to rank 0 (forces.c:47) is a plain jnp.sum here — under
+SPMD sharding XLA emits the psum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from macroc_tpu.config import BC_BENDING, BC_CIRCLE, MacroConfig
+from macroc_tpu.grid import StructuredGrid3D
+
+
+def circle_element_mask(grid: StructuredGrid3D, rad: float) -> np.ndarray:
+    """(nex, nez) bool: elements whose test point (forces.c:138-141 with
+    global element coords) lies inside the circle."""
+    ex = np.arange(grid.nx - 1)
+    ez = np.arange(grid.nz - 1)
+    x = grid.lx / 2.0 - (ex * grid.dx + grid.dx / 2.0)
+    z = grid.lz / 2.0 - (ez * grid.dz + grid.dz / 2.0)
+    return (x[:, None] ** 2 + z[None, :] ** 2) < rad * rad
+
+
+def calc_force(stress: jax.Array, grid: StructuredGrid3D, cfg: MacroConfig):
+    """stress: (nex, ney, nez, 8, 6) per-GP Voigt stress; returns scalar."""
+    if cfg.bc_type == BC_BENDING:
+        # last x-layer of elements, sigma_xy summed over GPs
+        return jnp.sum(stress[-1, :, :, :, 3]) * (grid.dy * grid.dz)
+    if cfg.bc_type == BC_CIRCLE:
+        mask = jnp.asarray(circle_element_mask(grid, cfg.rad))
+        syy = stress[:, -1, :, :, 1]  # (nex, nez, 8) at last y element layer
+        return jnp.sum(jnp.where(mask[:, :, None], syy, 0.0)) * (
+            grid.dx * grid.dz
+        )
+    raise ValueError(f"unknown bc_type {cfg.bc_type}")
+
+
+def per_rank_nonlinear_counts(
+    non_linear: np.ndarray, grid: StructuredGrid3D
+) -> np.ndarray:
+    """Per-rank non-linear GP counts for the gauss_evolution.dat row
+    (reference: util.c:69-87 gathers per-rank MicroPP counts).  Computed by
+    slicing the global per-GP flag array with each rank's owned-element box —
+    reproduces the reference's per-rank columns for the same decomposition."""
+    non_linear = np.asarray(non_linear)
+    counts = np.zeros(grid.nproc, dtype=np.int64)
+    for r in range(grid.nproc):
+        b = grid.local_box(r)
+        sl = non_linear[
+            b.si:b.si + b.nex, b.sj:b.sj + b.ney, b.sk:b.sk + b.nez
+        ]
+        counts[r] = int(sl.sum())
+    return counts

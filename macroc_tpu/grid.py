@@ -1,0 +1,247 @@
+"""StructuredGrid3D — DMDA-equivalent structured-grid descriptor.
+
+Replaces PETSc's DMDA (reference: DMDACreate3d at src/init.c:85-90 with 3
+dof/node, box stencil, stencil width 1) with closed-form index math: the grid
+is regular, so local/ghost extents, element ownership and local<->global
+numbering are all computable without index arrays.
+
+Decomposition semantics replicated from DMDA:
+  - Nodes in direction X are split over ``px`` ranks; each rank gets
+    ``NX // px`` nodes and the first ``NX % px`` ranks get one extra
+    (PETSc's default ownership-range rule).
+  - Ghost region = owned box grown by 1 node per face, clipped at the global
+    boundary (DMDA_STENCIL_BOX, sw=1; init.c:87-90).
+  - A rank owns the elements whose lowest-index node it owns; ranks at the
+    global high end own one fewer element than nodes per direction
+    (DMDAGetElementsSizes semantics; init.c:167).
+  - Rank grid ordering is x-fastest (PETSc rank = px_i + py_i*m + pz_i*m*n).
+
+The reference reads *ghost* corners into both its "local" and "ghost"
+globals (init.c:168-171 calls DMDAGetGhostCorners twice) — its BC and force
+code therefore operates on ghost extents.  We expose both owned and ghost
+extents correctly and replicate the reference's *global* behavior (the union
+of per-rank ghost-surface BC writes equals the global surface set).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+
+def _split_counts(n_nodes: int, n_parts: int) -> List[int]:
+    """Per-rank node counts in one direction (DMDA ownership rule)."""
+    base, rem = divmod(n_nodes, n_parts)
+    return [base + (1 if i < rem else 0) for i in range(n_parts)]
+
+
+def decide_processor_grid(
+    nproc: int, nx: int, ny: int, nz: int
+) -> Tuple[int, int, int]:
+    """Choose (px, py, pz) with px*py*pz == nproc (PETSC_DECIDE equivalent).
+
+    PETSc's DMDA heuristic picks a factorization whose subdomain shape is as
+    close as possible to the global aspect ratio.  We enumerate all factor
+    triples (nproc is a device count — tiny) and minimize the total halo
+    surface area of a subdomain, which is both what load balance wants and
+    what minimizes ICI traffic.  Triples where a direction would get more
+    ranks than nodes are rejected (DMDA errors in that case too).
+    """
+    best: Optional[Tuple[int, int, int]] = None
+    best_cost = math.inf
+    for px in range(1, nproc + 1):
+        if nproc % px:
+            continue
+        rest = nproc // px
+        for py in range(1, rest + 1):
+            if rest % py:
+                continue
+            pz = rest // py
+            if px > nx or py > ny or pz > nz:
+                continue
+            # per-subdomain extents (worst case = ceil)
+            sx = -(-nx // px)
+            sy = -(-ny // py)
+            sz = -(-nz // pz)
+            # halo surface: only count faces with a neighbor
+            cost = (
+                (sy * sz) * (2 if px > 1 else 0)
+                + (sx * sz) * (2 if py > 1 else 0)
+                + (sx * sy) * (2 if pz > 1 else 0)
+            )
+            # tiebreak: prefer balanced (squarish) subdomains
+            cost += 1e-6 * (max(sx, sy, sz) / max(1, min(sx, sy, sz)))
+            if cost < best_cost:
+                best_cost = cost
+                best = (px, py, pz)
+    if best is None:
+        raise ValueError(
+            f"cannot decompose grid {nx}x{ny}x{nz} over {nproc} devices"
+        )
+    return best
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalBox:
+    """Per-rank extents, mirroring the reference's per-rank globals
+    (include/macroc.h:100-121)."""
+
+    # owned node box (DMDAGetCorners)
+    si: int
+    sj: int
+    sk: int
+    nx: int
+    ny: int
+    nz: int
+    # ghosted node box (DMDAGetGhostCorners)
+    si_ghost: int
+    sj_ghost: int
+    sk_ghost: int
+    nx_ghost: int
+    ny_ghost: int
+    nz_ghost: int
+    # owned element counts (DMDAGetElementsSizes)
+    nex: int
+    ney: int
+    nez: int
+
+    @property
+    def nelem(self) -> int:
+        return self.nex * self.ney * self.nez
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredGrid3D:
+    """Global grid descriptor + decomposition.
+
+    nx/ny/nz are node counts (reference NX/NY/NZ); the element grid is one
+    smaller per direction.  ``procs`` is the (px,py,pz) device grid.
+    """
+
+    nx: int
+    ny: int
+    nz: int
+    lx: float
+    ly: float
+    lz: float
+    procs: Tuple[int, int, int] = (1, 1, 1)
+
+    def __post_init__(self):
+        px, py, pz = self.procs
+        if px > self.nx or py > self.ny or pz > self.nz:
+            raise ValueError(f"procs {self.procs} exceed nodes "
+                             f"{(self.nx, self.ny, self.nz)}")
+
+    # --- metrics (reference: init.c:137-140) ---
+    @property
+    def dx(self) -> float:
+        return self.lx / (self.nx - 1)
+
+    @property
+    def dy(self) -> float:
+        return self.ly / (self.ny - 1)
+
+    @property
+    def dz(self) -> float:
+        return self.lz / (self.nz - 1)
+
+    @property
+    def spacing(self) -> Tuple[float, float, float]:
+        return (self.dx, self.dy, self.dz)
+
+    @property
+    def wg(self) -> float:
+        return self.dx * self.dy * self.dz / 8.0
+
+    @property
+    def nnodes(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    @property
+    def ndof(self) -> int:
+        return self.nnodes * 3
+
+    @property
+    def nelem_global(self) -> int:
+        return (self.nx - 1) * (self.ny - 1) * (self.nz - 1)
+
+    @property
+    def nproc(self) -> int:
+        px, py, pz = self.procs
+        return px * py * pz
+
+    # --- decomposition ---
+    def rank_coords(self, rank: int) -> Tuple[int, int, int]:
+        """PETSc rank ordering: x fastest, then y, then z."""
+        px, py, _ = self.procs
+        return (rank % px, (rank // px) % py, rank // (px * py))
+
+    def rank_from_coords(self, ci: int, cj: int, ck: int) -> int:
+        px, py, _ = self.procs
+        return ci + cj * px + ck * px * py
+
+    def node_counts(self) -> Tuple[List[int], List[int], List[int]]:
+        px, py, pz = self.procs
+        return (
+            _split_counts(self.nx, px),
+            _split_counts(self.ny, py),
+            _split_counts(self.nz, pz),
+        )
+
+    def local_box(self, rank: int) -> LocalBox:
+        ci, cj, ck = self.rank_coords(rank)
+        cx, cy, cz = self.node_counts()
+        si, sj, sk = sum(cx[:ci]), sum(cy[:cj]), sum(cz[:ck])
+        nxl, nyl, nzl = cx[ci], cy[cj], cz[ck]
+        # ghost box: grow 1 per side, clip at global boundary
+        sig = max(si - 1, 0)
+        sjg = max(sj - 1, 0)
+        skg = max(sk - 1, 0)
+        nxg = min(si + nxl + 1, self.nx) - sig
+        nyg = min(sj + nyl + 1, self.ny) - sjg
+        nzg = min(sk + nzl + 1, self.nz) - skg
+        # element ownership: last rank per direction owns one fewer
+        px, py, pz = self.procs
+        nex = nxl - (1 if ci == px - 1 else 0)
+        ney = nyl - (1 if cj == py - 1 else 0)
+        nez = nzl - (1 if ck == pz - 1 else 0)
+        return LocalBox(si, sj, sk, nxl, nyl, nzl,
+                        sig, sjg, skg, nxg, nyg, nzg, nex, ney, nez)
+
+    def element_counts(self) -> List[int]:
+        """Per-rank owned element totals (for the load-imbalance report,
+        reference: src/util.c:25-60 + init.c:183-187)."""
+        return [self.local_box(r).nelem for r in range(self.nproc)]
+
+    def load_imbalance(self) -> Tuple[int, int, float]:
+        """(min, max, (max-min)/max * 100) across ranks (init.c:183-187)."""
+        counts = self.element_counts()
+        mn, mx = min(counts), max(counts)
+        return mn, mx, (mx - mn) / mx * 100.0
+
+    # --- global node numbering (natural ordering used for analysis/IO) ---
+    def node_gid(self, i: int, j: int, k: int) -> int:
+        """PETSc DMDA global node id: x fastest, then y, then z within the
+        *global natural* ordering is i + j*NX + k*NX*NY.  (PETSc's internal
+        "PETSc ordering" renumbers by rank; we keep natural ordering — it is
+        only used for IO and testing, never in the device hot path.)"""
+        return i + j * self.nx + k * self.nx * self.ny
+
+
+def make_grid(cfg, n_devices: int = 1) -> StructuredGrid3D:
+    """Build the grid from a MacroConfig, deciding the processor grid like
+    DMDACreate3d with PETSC_DECIDE (reference: src/init.c:85-90)."""
+    px, py, pz = cfg.procs_x, cfg.procs_y, cfg.procs_z
+    if px is None or py is None or pz is None:
+        dpx, dpy, dpz = decide_processor_grid(n_devices, cfg.nx, cfg.ny, cfg.nz)
+        px, py, pz = px or dpx, py or dpy, pz or dpz
+    if px * py * pz != n_devices:
+        raise ValueError(
+            f"processor grid {px}x{py}x{pz} != device count {n_devices}"
+        )
+    return StructuredGrid3D(
+        nx=cfg.nx, ny=cfg.ny, nz=cfg.nz,
+        lx=cfg.lx, ly=cfg.ly, lz=cfg.lz,
+        procs=(px, py, pz),
+    )

@@ -1,0 +1,230 @@
+"""VTU/PVTU visualization output — format-compatible with the reference
+(src/output.c:25-267).
+
+One ``<prefix>.pvtu`` master plus one ``<prefix>-subdo-<rank>.vtu`` piece per
+logical rank of the grid decomposition.  Replicated reference behaviors
+(SURVEY.md §3.4, Appendix B.6-7):
+
+  - each piece writes the GHOST-extended node region (pieces overlap at
+    subdomain boundaries, GhostLevel=0 — exactly like the reference);
+  - point data: displ (3-vector);
+  - cell data over OWNED elements: part (rank id), cost (GP-average
+    constitutive cost), non-linear (count of plastic GPs in the element),
+    strain and stress (per-GP values scaled by wg and summed over GPs —
+    the reference's quirky "average", replicated);
+  - hexahedron cell type 12, connectivity in ghost-local node numbering
+    (x fastest), element order x-fastest/z-slowest.
+
+Pure host-side numpy + ascii formatting; a C++ fast formatter backs this
+for large grids (macroc_tpu.io.native), falling back to numpy transparently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from macroc_tpu.grid import StructuredGrid3D
+
+_PVTU_HEADER = """<?xml version="1.0"?>
+<VTKFile type="PUnstructuredGrid" version="0.1" byte_order="LittleEndian">
+<PUnstructuredGrid GhostLevel="0">
+<PPoints>
+  <PDataArray type="Float64" Name="Position"   NumberOfComponents="3"/>
+</PPoints>
+<PCells>
+  <PDataArray type="Int32" Name="connectivity" NumberOfComponents="1"/>
+  <PDataArray type="Int32" Name="offsets"      NumberOfComponents="1"/>
+  <PDataArray type="UInt8" Name="types"        NumberOfComponents="1"/>
+</PCells>
+<PPointData Vectors="displ">
+  <PDataArray type="Float64" Name="displ"      NumberOfComponents="3" />
+</PPointData>
+<PCellData>
+  <PDataArray type="Int32"   Name="part"       NumberOfComponents="1"/>
+  <PDataArray type="Float64" Name="cost"       NumberOfComponents="1"/>
+  <PDataArray type="Int32"   Name="non-linear" NumberOfComponents="1"/>
+<PDataArray type="Float64" Name="strain"       NumberOfComponents="6"/>
+<PDataArray type="Float64" Name="stress"       NumberOfComponents="6"/>
+</PCellData>
+"""
+
+
+def _fmt_rows(arr: np.ndarray, fmt: str, sep: str = "\t") -> str:
+    """Fast-ish ascii table: one row per line."""
+    return "\n".join(sep.join(fmt % v for v in row) for row in arr)
+
+
+def write_pvtu(
+    prefix: str,
+    grid: StructuredGrid3D,
+    u: np.ndarray,            # (nx, ny, nz, 3)
+    stress: np.ndarray,       # (nex, ney, nez, 8, 6) per-GP
+    strain: np.ndarray,       # (nex, ney, nez, 8, 6) per-GP
+    non_linear: np.ndarray,   # (nex, ney, nez, 8) bool
+    cost: np.ndarray,         # (nex, ney, nez, 8)
+    wg: float,
+    outdir: str = ".",
+) -> str:
+    """Write <prefix>.pvtu + one .vtu piece per logical rank; returns the
+    pvtu path."""
+    os.makedirs(outdir, exist_ok=True)
+    u = np.asarray(u, dtype=np.float64)
+    stress = np.asarray(stress, dtype=np.float64)
+    strain = np.asarray(strain, dtype=np.float64)
+    non_linear = np.asarray(non_linear)
+    cost = np.asarray(cost, dtype=np.float64)
+
+    pvtu_path = os.path.join(outdir, f"{prefix}.pvtu")
+    with open(pvtu_path, "w") as fp:
+        fp.write(_PVTU_HEADER)
+        for r in range(grid.nproc):
+            fp.write(f'  <Piece Source="{prefix}-subdo-{r}.vtu"/>\n')
+        fp.write("</PUnstructuredGrid>\n</VTKFile>\n")
+
+    # element-level derived fields (reference quirk: *wg sum over GPs,
+    # output.c:211-253; cost averaged over NGP, output.c:185)
+    el_strain = strain.sum(axis=3) * wg
+    el_stress = stress.sum(axis=3) * wg
+    el_cost = cost.sum(axis=3) / 8.0
+    el_nl = non_linear.astype(np.int64).sum(axis=3)
+
+    for r in range(grid.nproc):
+        b = grid.local_box(r)
+        piece = os.path.join(outdir, f"{prefix}-subdo-{r}.vtu")
+        _write_piece(
+            piece, grid, b, r, u, el_strain, el_stress, el_nl, el_cost
+        )
+    return pvtu_path
+
+
+def _write_piece(path, grid, b, rank, u, el_strain, el_stress, el_nl, el_cost):
+    nxg, nyg, nzg = b.nx_ghost, b.ny_ghost, b.nz_ghost
+    N = nxg * nyg * nzg
+    nelem = b.nelem
+
+    with open(path, "w") as fp:
+        fp.write(
+            '<?xml version="1.0"?>\n'
+            '<VTKFile type="UnstructuredGrid" version="0.1" '
+            'byte_order="LittleEndian">\n<UnstructuredGrid>\n'
+            f'<Piece NumberOfPoints="{N}" NumberOfCells="{nelem}">\n<Points>\n'
+        )
+
+        # --- points: ghost-region nodes, i fastest (output.c:101-108) ---
+        fp.write(
+            '<DataArray type="Float64" Name="Position" '
+            'NumberOfComponents="3" format="ascii">\n'
+        )
+        ii = np.arange(b.si_ghost, b.si_ghost + nxg)
+        jj = np.arange(b.sj_ghost, b.sj_ghost + nyg)
+        kk = np.arange(b.sk_ghost, b.sk_ghost + nzg)
+        K, J, I = np.meshgrid(kk, jj, ii, indexing="ij")
+        pts = np.stack(
+            [I.ravel() * grid.dx, J.ravel() * grid.dy, K.ravel() * grid.dz],
+            axis=1,
+        )
+        fp.write(_fmt_rows(pts, "%01.6e"))
+        fp.write("\n</DataArray>\n</Points>\n<Cells>\n")
+
+        # --- connectivity: ghost-local node ids, VTK hex order ---
+        fp.write(
+            '<DataArray type="Int32" Name="connectivity" '
+            'NumberOfComponents="1" format="ascii">\n'
+        )
+        # owned elements relative to ghost box
+        e0i, e0j, e0k = b.si - b.si_ghost, b.sj - b.sj_ghost, b.sk - b.sk_ghost
+        exr = np.arange(b.nex) + e0i
+        eyr = np.arange(b.ney) + e0j
+        ezr = np.arange(b.nez) + e0k
+        EZ, EY, EX = np.meshgrid(ezr, eyr, exr, indexing="ij")
+
+        def lid(i, j, k):
+            return i + j * nxg + k * nxg * nyg
+
+        # VTK hexahedron node order (matches NODE_OFFSETS)
+        offs = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+        conn = np.stack(
+            [lid(EX.ravel() + o[0], EY.ravel() + o[1], EZ.ravel() + o[2])
+             for o in offs],
+            axis=1,
+        )
+        fp.write(_fmt_rows(conn, "%-6d"))
+        fp.write("\n</DataArray>\n")
+
+        fp.write(
+            '<DataArray type="Int32" Name="offsets" '
+            'NumberOfComponents="1" format="ascii">\n'
+        )
+        fp.write("\t".join(str(8 * (e + 1)) for e in range(nelem)))
+        fp.write("\t\n</DataArray>\n")
+
+        fp.write(
+            '<DataArray type="UInt8"  Name="types" '
+            'NumberOfComponents="1" format="ascii">\n'
+        )
+        fp.write("12\t" * nelem)
+        fp.write("\n</DataArray>\n</Cells>\n")
+
+        # --- point data: displ over ghost region ---
+        fp.write(
+            '<PointData Vectors="displ">\n'
+            '<DataArray type="Float64" Name="displ" '
+            'NumberOfComponents="3" format="ascii" >\n'
+        )
+        ug = u[
+            b.si_ghost:b.si_ghost + nxg,
+            b.sj_ghost:b.sj_ghost + nyg,
+            b.sk_ghost:b.sk_ghost + nzg,
+        ]
+        # i fastest -> transpose to (k, j, i, 3) then flatten
+        fp.write(_fmt_rows(ug.transpose(2, 1, 0, 3).reshape(-1, 3), "%01.6e"))
+        fp.write("\n</DataArray>\n</PointData>\n<CellData>\n")
+
+        # --- cell data over owned elements, x fastest ---
+        def el_slice(arr):
+            sl = arr[b.si:b.si + b.nex, b.sj:b.sj + b.ney, b.sk:b.sk + b.nez]
+            return sl.transpose((2, 1, 0) + tuple(range(3, sl.ndim)))
+
+        fp.write(
+            '<DataArray type="Int32" Name="part" '
+            'NumberOfComponents="1" format="ascii">\n'
+        )
+        fp.write(f"{rank}\t" * nelem)
+        fp.write("\n</DataArray>\n")
+
+        fp.write(
+            '<DataArray type="Float64" Name="cost" '
+            'NumberOfComponents="1" format="ascii">\n'
+        )
+        fp.write("\t".join("%f" % v for v in el_slice(el_cost).ravel()))
+        fp.write("\t\n</DataArray>\n")
+
+        fp.write(
+            '<DataArray type="Int32" Name="non-linear" '
+            'NumberOfComponents="1" format="ascii">\n'
+        )
+        fp.write("\t".join(str(int(v)) for v in el_slice(el_nl).ravel()))
+        fp.write("\t\n</DataArray>\n")
+
+        fp.write(
+            '<DataArray type="Float64" Name="strain" '
+            'NumberOfComponents="6" format="ascii">'
+        )
+        fp.write(
+            "\t".join("%e" % v for v in el_slice(el_strain).reshape(-1))
+        )
+        fp.write("\t\n</DataArray>\n")
+
+        fp.write(
+            '<DataArray type="Float64" Name="stress" '
+            'NumberOfComponents="6" format="ascii">'
+        )
+        fp.write(
+            "\t".join("%e" % v for v in el_slice(el_stress).reshape(-1))
+        )
+        fp.write("\t\n</DataArray>\n")
+
+        fp.write("</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")

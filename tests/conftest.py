@@ -1,0 +1,20 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Multi-device decomposition paths (the 8-way tests that mirror the
+reference's mpirun -np 8 CTest configs, tests/CMakeLists.txt:26-28) run in
+CI without TPU hardware via xla_force_host_platform_device_count.  float64
+is enabled so numeric oracles compare at reference (double) precision.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

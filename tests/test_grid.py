@@ -1,0 +1,86 @@
+"""StructuredGrid3D decomposition invariants.
+
+Oracle: the DMDA semantics documented by the reference's characterization
+programs (tests/test_dm_1.c, test_dm_2.c) — ownership ranges, ghost boxes,
+element ownership — plus conservation laws that must hold for any grid.
+"""
+
+import pytest
+
+from macroc_tpu.config import MacroConfig
+from macroc_tpu.grid import StructuredGrid3D, decide_processor_grid, make_grid
+
+
+def test_node_split_rule():
+    g = StructuredGrid3D(10, 3, 7, 1, 1, 1, procs=(3, 1, 2))
+    cx, cy, cz = g.node_counts()
+    # first NX % px ranks get the extra node (DMDA rule)
+    assert cx == [4, 3, 3]
+    assert cy == [3]
+    assert cz == [4, 3]
+    assert sum(cx) == 10 and sum(cy) == 3 and sum(cz) == 7
+
+
+def test_element_conservation():
+    for procs in [(1, 1, 1), (2, 1, 1), (2, 2, 2), (4, 1, 2)]:
+        g = StructuredGrid3D(9, 4, 8, 1, 1, 1, procs=procs)
+        assert sum(g.element_counts()) == g.nelem_global
+
+
+def test_ghost_boxes():
+    g = StructuredGrid3D(10, 10, 10, 1, 1, 1, procs=(2, 2, 2))
+    for r in range(8):
+        b = g.local_box(r)
+        # ghost box = owned box grown 1, clipped
+        assert b.si_ghost == max(b.si - 1, 0)
+        assert b.si_ghost + b.nx_ghost == min(b.si + b.nx + 1, 10)
+        # owned box covered
+        assert b.si_ghost <= b.si
+        assert b.si_ghost + b.nx_ghost >= b.si + b.nx
+
+
+def test_element_ownership_last_rank():
+    g = StructuredGrid3D(10, 3, 3, 1, 1, 1, procs=(2, 1, 1))
+    b0, b1 = g.local_box(0), g.local_box(1)
+    assert b0.nex == b0.nx          # interior rank: one element per owned node
+    assert b1.nex == b1.nx - 1      # boundary rank: one fewer
+    assert b0.nex + b1.nex == 9
+
+
+def test_rank_ordering_x_fastest():
+    g = StructuredGrid3D(8, 8, 8, 1, 1, 1, procs=(2, 2, 2))
+    assert g.rank_coords(0) == (0, 0, 0)
+    assert g.rank_coords(1) == (1, 0, 0)
+    assert g.rank_coords(2) == (0, 1, 0)
+    assert g.rank_coords(4) == (0, 0, 1)
+    for r in range(8):
+        assert g.rank_from_coords(*g.rank_coords(r)) == r
+
+
+def test_decide_processor_grid():
+    # 8 devices on a cube -> 2x2x2
+    assert decide_processor_grid(8, 64, 64, 64) == (2, 2, 2)
+    # thin-y grid (reference default 40x3x40): avoid splitting y
+    px, py, pz = decide_processor_grid(4, 40, 3, 40)
+    assert py == 1 and px * pz == 4
+    # never more ranks than nodes in a direction
+    with pytest.raises(ValueError):
+        decide_processor_grid(64, 2, 2, 2)
+
+
+def test_make_grid_from_config():
+    cfg = MacroConfig(nx=5, ny=2, nz=2)
+    g = make_grid(cfg, n_devices=1)
+    assert (g.nx, g.ny, g.nz) == (5, 2, 2)
+    assert g.nelem_global == 4
+    mn, mx, imb = g.load_imbalance()
+    assert mn == mx == 4 and imb == 0.0
+
+
+def test_spacing_and_wg():
+    # reference defaults: 40x3x40 nodes over 50x1x50 (init.c:137-140)
+    cfg = MacroConfig()
+    g = make_grid(cfg, 1)
+    assert abs(g.dx - 50.0 / 39) < 1e-15
+    assert abs(g.dy - 0.5) < 1e-15
+    assert abs(g.wg - g.dx * g.dy * g.dz / 8) < 1e-18

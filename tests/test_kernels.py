@@ -1,0 +1,128 @@
+"""FEM kernel oracles: strain gather, residual scatter, stencil assembly vs
+a naive dense assembly written independently with numpy loops."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macroc_tpu.constitutive.elastic import elastic_matrix
+from macroc_tpu.config import MaterialParams
+from macroc_tpu.fem.element import NODE_OFFSETS, NPE, b_matrix
+from macroc_tpu.fem.kernels import (
+    assemble_residual,
+    assemble_stencil,
+    compute_strains,
+    element_stiffness,
+    gather_element_dofs,
+)
+from macroc_tpu.ops.stencil import stencil_matvec, stencil_to_dense
+
+
+def naive_element_stiffness(B, C, wg):
+    """Independent quadruple-loop element stiffness (the reference's
+    assembly.c:94-99 algorithm, written from the math)."""
+    Ae = np.zeros((NPE * 3, NPE * 3))
+    Bf = B.reshape(8, 6, NPE * 3)  # (gp, v, dof)
+    for gp in range(8):
+        Ae += Bf[gp].T @ C @ Bf[gp] * wg
+    return Ae
+
+
+def naive_global_dense(nx, ny, nz, B, C, wg):
+    """Assemble the dense global matrix element by element (numpy oracle)."""
+    N = nx * ny * nz
+    A = np.zeros((3 * N, 3 * N))
+    Ae = naive_element_stiffness(B, C, wg)
+
+    def gid(i, j, k):
+        # C-order node id, consistent with stencil_to_dense / reshape(-1)
+        return (i * ny + j) * nz + k
+
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                nodes = [gid(i + o[0], j + o[1], k + o[2]) for o in NODE_OFFSETS]
+                dofs = np.concatenate([[3 * n, 3 * n + 1, 3 * n + 2] for n in nodes])
+                A[np.ix_(dofs, dofs)] += Ae
+    return A
+
+
+@pytest.fixture(scope="module")
+def setup():
+    nx, ny, nz = 4, 3, 3
+    B = b_matrix((1.0, 1.0, 1.0))
+    C = elastic_matrix(MaterialParams())
+    wg = 0.37
+    return nx, ny, nz, B, C, wg
+
+
+def test_gather_shapes(setup):
+    nx, ny, nz, B, C, wg = setup
+    u = jnp.arange(nx * ny * nz * 3, dtype=jnp.float64).reshape(nx, ny, nz, 3)
+    u8 = gather_element_dofs(u)
+    assert u8.shape == (nx - 1, ny - 1, nz - 1, 8, 3)
+    # element (1,0,1) node 6 (+1,+1,+1) dof 2 == u[2,1,2,2]
+    assert u8[1, 0, 1, 6, 2] == u[2, 1, 2, 2]
+
+
+def test_strains_match_manual(setup):
+    nx, ny, nz, B, C, wg = setup
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(nx, ny, nz, 3))
+    eps = np.asarray(compute_strains(jnp.asarray(u), jnp.asarray(B)))
+    # manual strain for element (2,1,0), gp 5
+    ue = np.array([u[2 + o[0], 1 + o[1], 0 + o[2]] for o in NODE_OFFSETS])
+    expect = np.einsum("vnd,nd->v", B[5], ue)
+    assert np.allclose(eps[2, 1, 0, 5], expect, atol=1e-12)
+
+
+def test_residual_constant_stress_interior_zero(setup):
+    """Patch test: a spatially constant stress field is in equilibrium — the
+    assembled internal force must vanish at all interior nodes."""
+    nx, ny, nz, B, C, wg = setup
+    sigma0 = np.array([1.0, -2.0, 0.5, 0.3, -0.7, 1.1])
+    stress = jnp.broadcast_to(
+        jnp.asarray(sigma0), (nx - 1, ny - 1, nz - 1, 8, 6)
+    )
+    f = np.asarray(assemble_residual(stress, jnp.asarray(B), wg, (nx, ny, nz)))
+    assert np.allclose(f[1:-1, 1:-1, 1:-1], 0.0, atol=1e-12)
+    # ... and must NOT vanish on the boundary (sanity)
+    assert np.abs(f[0]).max() > 1e-3
+
+
+def test_element_stiffness_vs_naive(setup):
+    nx, ny, nz, B, C, wg = setup
+    ctan = jnp.broadcast_to(jnp.asarray(C), (1, 1, 1, 8, 6, 6))
+    Ae = np.asarray(element_stiffness(ctan, jnp.asarray(B), wg))[0, 0, 0]
+    Ae = Ae.reshape(24, 24)
+    expect = naive_element_stiffness(B, C, wg)
+    assert np.allclose(Ae, expect, atol=1e-9)
+    # symmetry + positive semidefinite (6 rigid-body zero modes)
+    assert np.allclose(Ae, Ae.T, atol=1e-9)
+    w = np.linalg.eigvalsh(expect)
+    assert w[0] > -1e-6 * abs(w[-1])
+
+
+def test_stencil_assembly_vs_dense(setup):
+    nx, ny, nz, B, C, wg = setup
+    ctan = jnp.broadcast_to(
+        jnp.asarray(C), (nx - 1, ny - 1, nz - 1, 8, 6, 6)
+    )
+    A27 = assemble_stencil(ctan, jnp.asarray(B), wg, (nx, ny, nz))
+    dense = stencil_to_dense(A27)
+    expect = naive_global_dense(nx, ny, nz, B, C, wg)
+    assert np.allclose(dense, expect, atol=1e-8)
+
+
+def test_stencil_matvec_vs_dense(setup):
+    nx, ny, nz, B, C, wg = setup
+    rng = np.random.default_rng(2)
+    # random per-element tangents (breaks homogeneity — stresses indexing)
+    ctan_r = rng.normal(size=(nx - 1, ny - 1, nz - 1, 8, 6, 6))
+    ctan_r = ctan_r + np.swapaxes(ctan_r, -1, -2)  # symmetric blocks
+    A27 = assemble_stencil(jnp.asarray(ctan_r), jnp.asarray(B), wg, (nx, ny, nz))
+    dense = stencil_to_dense(A27)
+    x = rng.normal(size=(nx, ny, nz, 3))
+    y = np.asarray(stencil_matvec(A27, jnp.asarray(x)))
+    expect = (dense @ x.reshape(-1)).reshape(nx, ny, nz, 3)
+    assert np.allclose(y, expect, atol=1e-9)
