@@ -1,0 +1,154 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: BSR(3x3) 27-point stencil SpMV throughput in nnz/s on one chip
+(the north-star metric from BASELINE.json), measured with the only
+methodology that is reliable on async/tunneled runtimes: N matvecs inside a
+single jitted lax.fori_loop ending in a scalar reduction (forcing a real
+host fetch), differenced across two N values to cancel dispatch overhead.
+
+Secondary fields: fused Newton-time-step wall-clock on a 128^3-node grid
+and the speed-of-light fraction vs an HBM-bandwidth roofline
+(v5e ~819 GB/s; one SpMV must move >= (27*9 + ~6)*4 bytes/node; nnz/node =
+27*9 = 243 stored block coefficients).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HBM_GB_S = 819.0  # v5e
+
+
+def _timed_loop(body, args, n_lo=5, n_hi=55):
+    """Per-iteration seconds of body (a y->y map) via loop differencing."""
+
+    def mk(N):
+        @jax.jit
+        def run(*a):
+            y = jax.lax.fori_loop(0, N, lambda i, w: body(*a[:-1], w), a[-1])
+            return jnp.sum(y)
+
+        return run
+
+    ts = {}
+    for N in (n_lo, n_hi):
+        f = mk(N)
+        c = f.lower(*args).compile()
+        float(c(*args))  # warm: first exec includes tunnel/session setup
+        t0 = time.perf_counter()
+        float(c(*args))
+        ts[N] = time.perf_counter() - t0
+    return (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
+
+
+def bench_spmv(n=128, dtype=jnp.float32):
+    from macroc_tpu.config import MaterialParams
+    from macroc_tpu.constitutive.elastic import elastic_matrix
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import assemble_stencil
+    from macroc_tpu.ops.stencil_pallas import (
+        stencil_matvec_pallas,
+        stencil_matvec_soa,
+        to_soa,
+    )
+
+    shape = (n, n, n)
+    B = jnp.asarray(b_matrix((1.0, 1.0, 1.0)), dtype=dtype)
+    C = jnp.asarray(elastic_matrix(MaterialParams()), dtype=dtype)
+    ctan = jnp.broadcast_to(C, (n - 1, n - 1, n - 1, 8, 6, 6))
+    A_soa = jax.jit(lambda c: to_soa(assemble_stencil(c, B, 0.125, shape)))(
+        ctan
+    )
+    jax.block_until_ready(A_soa)
+    x = jnp.ones((3,) + shape, dtype=dtype)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    results = {}
+    variants = {"jnp_soa": stencil_matvec_soa}
+    if on_tpu:
+        variants["pallas"] = lambda A, v: stencil_matvec_pallas(
+            A, v, tile=(4, 8, 128)
+        )
+    for name, mv in variants.items():
+        dt = _timed_loop(mv, (A_soa, x))
+        results[name] = dt
+
+    best_name = min(results, key=results.get)
+    dt = results[best_name]
+    nnodes = n**3
+    nnz = nnodes * 27 * 9
+    return dict(
+        variant=best_name,
+        spmv_s=dt,
+        all_variants={k: v * 1e3 for k, v in results.items()},
+        nnz_per_s=nnz / dt,
+        eff_gb_s=nnodes * (27 * 9 + 6) * jnp.dtype(dtype).itemsize / dt / 1e9,
+        n=n,
+    )
+
+
+def bench_newton_step(n=128, dtype="float32"):
+    """Wall-clock of the fused Newton time step (1 homogenize + residual +
+    stencil assembly + BC + CG to rtol) on an n^3-node grid."""
+    from macroc_tpu.config import BC_BENDING, MacroConfig
+    from macroc_tpu.problem import MacroProblem
+
+    cfg = MacroConfig(
+        nx=n, ny=n, nz=n, lx=4.0, ly=4.0, lz=4.0,
+        bc_type=BC_BENDING, dtype=dtype, constitutive="j2",
+        newton_max_its=1, ksp_maxits=200, ksp_rtol=1e-5,
+    )
+    problem = MacroProblem(cfg, n_devices=1)
+    u, state = problem.init_fields()
+    U = jnp.asarray(-0.01, problem.dtype)
+
+    @jax.jit
+    def run(u, state, U):
+        u2, s2, diag = problem.time_step(u, state, U)
+        return jnp.sum(u2) + diag.res_norms[0], diag.ksp_its[0]
+
+    c = run.lower(u, state, U).compile()
+    s, its = c(u, state, U)
+    float(s)  # warm
+    t0 = time.perf_counter()
+    s, its = c(u, state, U)
+    float(s)
+    dt = time.perf_counter() - t0
+    return dict(newton_step_s=dt, ksp_its=int(its), n=n)
+
+
+def main():
+    from macroc_tpu.utils.cache import setup_runtime
+
+    setup_runtime()
+    spmv = bench_spmv(n=128)
+    sol_bytes_per_node = (27 * 9 + 6) * 4
+    sol_nnz_per_s = HBM_GB_S * 1e9 / sol_bytes_per_node * 243
+    newton = bench_newton_step(n=128)
+    result = {
+        "metric": "bsr27_spmv_nnz_per_s",
+        "value": spmv["nnz_per_s"],
+        "unit": "nnz/s",
+        "vs_baseline": spmv["nnz_per_s"] / sol_nnz_per_s,
+        "extras": {
+            "variant": spmv["variant"],
+            "all_variants_ms": spmv["all_variants"],
+            "spmv_ms": spmv["spmv_s"] * 1e3,
+            "spmv_eff_gb_s": spmv["eff_gb_s"],
+            "grid": spmv["n"],
+            "newton_step_s_128cubed": newton["newton_step_s"],
+            "newton_ksp_its": newton["ksp_its"],
+            "roofline_nnz_per_s": sol_nnz_per_s,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,9 @@ from macroc_tpu.driver import Simulation
 
 
 def main(argv=None):
+    from macroc_tpu.utils.cache import setup_runtime
+
+    setup_runtime()
     argv = sys.argv[1:] if argv is None else argv
     cfg = parse_cli(argv)
     if cfg.dtype == "float64":

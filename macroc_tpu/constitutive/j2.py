@@ -53,6 +53,77 @@ class J2State:
     alpha: jax.Array  # (...,)
 
 
+def j2_radial_return(eps, eps_p, alpha, lam, mu, Sy, Ka):
+    """Functional radial-return map with array-valued material parameters
+    (broadcast against the batch) — shared by J2Engine (scalar material) and
+    the micro-FE engine (per-micro-element materials).
+
+    Returns (stress, ctan, eps_p_new, alpha_new, f_trial, plastic); all
+    outputs batched like eps (..., 6).
+    """
+    dtype = eps.dtype
+    batch = jnp.broadcast_shapes(
+        eps[..., 0].shape, jnp.shape(lam), jnp.shape(mu),
+        jnp.shape(Sy), jnp.shape(Ka),
+    )
+    lam = jnp.broadcast_to(jnp.asarray(lam, dtype), batch)
+    mu = jnp.broadcast_to(jnp.asarray(mu, dtype), batch)
+    Sy = jnp.broadcast_to(jnp.asarray(Sy, dtype), batch)
+    Ka = jnp.broadcast_to(jnp.asarray(Ka, dtype), batch)
+    kappa = lam + 2.0 * mu / 3.0
+
+    e = eps - eps_p
+    tr = e[..., 0] + e[..., 1] + e[..., 2]
+    # sigma = lam tr(e) I + 2 mu e  (engineering shears: sigma_shear = mu*gamma)
+    sig_tr = jnp.concatenate(
+        [
+            (lam * tr)[..., None] + 2.0 * mu[..., None] * e[..., :3],
+            mu[..., None] * e[..., 3:],
+        ],
+        axis=-1,
+    )
+
+    p = (sig_tr[..., 0] + sig_tr[..., 1] + sig_tr[..., 2]) / 3.0
+    s = sig_tr.at[..., :3].add(-p[..., None])
+    snorm = jnp.sqrt(
+        jnp.sum(s[..., :3] ** 2, axis=-1)
+        + 2.0 * jnp.sum(s[..., 3:] ** 2, axis=-1)
+    )
+    f_trial = snorm - _SQ23 * (Sy + Ka * alpha)
+    plastic = f_trial > 0.0
+
+    dgamma = jnp.where(plastic, f_trial / (2.0 * mu + (2.0 / 3.0) * Ka), 0.0)
+    safe = jnp.maximum(snorm, jnp.asarray(1e-30, dtype))
+    n = s / safe[..., None]
+
+    stress = sig_tr - (2.0 * mu * dgamma)[..., None] * n
+
+    dn = n.at[..., 3:].multiply(2.0)
+    eps_p_new = jnp.where(
+        plastic[..., None], eps_p + dgamma[..., None] * dn, eps_p
+    )
+    alpha_new = jnp.where(plastic, alpha + _SQ23 * dgamma, alpha)
+
+    theta = 1.0 - 2.0 * mu * dgamma / safe
+    thetabar = 1.0 / (1.0 + Ka / (3.0 * mu)) - (1.0 - theta)
+
+    ones33 = jnp.zeros((6, 6), dtype).at[:3, :3].set(1.0)
+    i_dev = (
+        jnp.diag(jnp.asarray([1, 1, 1, 0.5, 0.5, 0.5], dtype)) - ones33 / 3.0
+    )
+    nn = n[..., :, None] * n[..., None, :]
+    kap = kappa[..., None, None]
+    mu2 = (2.0 * mu)[..., None, None]
+    C_el = kap * ones33 + mu2 * i_dev
+    C_ep = (
+        kap * ones33
+        + mu2 * theta[..., None, None] * i_dev
+        - mu2 * thetabar[..., None, None] * nn
+    )
+    ctan = jnp.where(plastic[..., None, None], C_ep, C_el)
+    return stress, ctan, eps_p_new, alpha_new, f_trial, plastic
+
+
 class J2Engine:
     def __init__(self, mat: MaterialParams, dtype=jnp.float32):
         self.mat = mat

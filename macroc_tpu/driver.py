@@ -152,11 +152,12 @@ class Simulation:
             )
 
             if cfg.vtu_freq > 0 and time_s % cfg.vtu_freq == 0:
-                strain = compute_strains(u, self.problem.B)
+                u_real = self.problem.unpad_u(u)
+                strain = compute_strains(u_real, self.problem.B)
                 write_pvtu(
                     f"solution_{time_s}",
                     self.grid,
-                    np.asarray(u),
+                    np.asarray(u_real),
                     np.asarray(diag.stress),
                     np.asarray(strain),
                     nl,

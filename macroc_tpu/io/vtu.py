@@ -26,6 +26,7 @@ import os
 import numpy as np
 
 from macroc_tpu.grid import StructuredGrid3D
+from macroc_tpu.io import native as _native
 
 _PVTU_HEADER = """<?xml version="1.0"?>
 <VTKFile type="PUnstructuredGrid" version="0.1" byte_order="LittleEndian">
@@ -52,8 +53,35 @@ _PVTU_HEADER = """<?xml version="1.0"?>
 
 
 def _fmt_rows(arr: np.ndarray, fmt: str, sep: str = "\t") -> str:
-    """Fast-ish ascii table: one row per line."""
+    """ASCII table, one row per line — C++ fast path, numpy fallback."""
+    out = _native.format_doubles(arr, fmt, row_newline=True)
+    if out is not None:
+        return out[:-1]  # drop trailing newline (callers add their own)
     return "\n".join(sep.join(fmt % v for v in row) for row in arr)
+
+
+def _fmt_flat(arr: np.ndarray, fmt: str) -> str:
+    """Flat tab-separated values with a trailing tab (the reference's cell
+    data layout)."""
+    flat = np.asarray(arr, dtype=np.float64).reshape(1, -1)
+    out = _native.format_doubles(flat, fmt, row_newline=False)
+    if out is not None:
+        return out
+    return "".join(fmt % v + "\t" for v in flat.ravel())
+
+
+def _fmt_ints(arr: np.ndarray, fmt: str = "%lld", row_newline: bool = False) -> str:
+    a = np.asarray(arr, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[None, :]
+    out = _native.format_longs(a, fmt, row_newline=row_newline)
+    if out is not None:
+        return out
+    py_fmt = fmt.replace("lld", "d")
+    lines = ["\t".join(py_fmt % v for v in row) + "\t" for row in a]
+    if row_newline:
+        return "\n".join(s[:-1] for s in lines) + "\n"
+    return "".join(lines)
 
 
 def write_pvtu(
@@ -151,15 +179,15 @@ def _write_piece(path, grid, b, rank, u, el_strain, el_stress, el_nl, el_cost):
              for o in offs],
             axis=1,
         )
-        fp.write(_fmt_rows(conn, "%-6d"))
-        fp.write("\n</DataArray>\n")
+        fp.write(_fmt_ints(conn, "%-6lld", row_newline=True))
+        fp.write("</DataArray>\n")
 
         fp.write(
             '<DataArray type="Int32" Name="offsets" '
             'NumberOfComponents="1" format="ascii">\n'
         )
-        fp.write("\t".join(str(8 * (e + 1)) for e in range(nelem)))
-        fp.write("\t\n</DataArray>\n")
+        fp.write(_fmt_ints(8 * (np.arange(nelem) + 1)))
+        fp.write("\n</DataArray>\n")
 
         fp.write(
             '<DataArray type="UInt8"  Name="types" '
@@ -199,32 +227,28 @@ def _write_piece(path, grid, b, rank, u, el_strain, el_stress, el_nl, el_cost):
             '<DataArray type="Float64" Name="cost" '
             'NumberOfComponents="1" format="ascii">\n'
         )
-        fp.write("\t".join("%f" % v for v in el_slice(el_cost).ravel()))
-        fp.write("\t\n</DataArray>\n")
+        fp.write(_fmt_flat(el_slice(el_cost), "%f"))
+        fp.write("\n</DataArray>\n")
 
         fp.write(
             '<DataArray type="Int32" Name="non-linear" '
             'NumberOfComponents="1" format="ascii">\n'
         )
-        fp.write("\t".join(str(int(v)) for v in el_slice(el_nl).ravel()))
-        fp.write("\t\n</DataArray>\n")
+        fp.write(_fmt_ints(el_slice(el_nl).ravel()))
+        fp.write("\n</DataArray>\n")
 
         fp.write(
             '<DataArray type="Float64" Name="strain" '
             'NumberOfComponents="6" format="ascii">'
         )
-        fp.write(
-            "\t".join("%e" % v for v in el_slice(el_strain).reshape(-1))
-        )
-        fp.write("\t\n</DataArray>\n")
+        fp.write(_fmt_flat(el_slice(el_strain), "%e"))
+        fp.write("\n</DataArray>\n")
 
         fp.write(
             '<DataArray type="Float64" Name="stress" '
             'NumberOfComponents="6" format="ascii">'
         )
-        fp.write(
-            "\t".join("%e" % v for v in el_slice(el_stress).reshape(-1))
-        )
-        fp.write("\t\n</DataArray>\n")
+        fp.write(_fmt_flat(el_slice(el_stress), "%e"))
+        fp.write("\n</DataArray>\n")
 
         fp.write("</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")

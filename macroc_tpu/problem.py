@@ -44,14 +44,7 @@ from macroc_tpu.fem.kernels import (
 )
 from macroc_tpu.forces import calc_force
 from macroc_tpu.grid import StructuredGrid3D, make_grid
-from macroc_tpu.ops.stencil import stencil_matvec
-from macroc_tpu.solve import (
-    block_jacobi_precond,
-    cg_solve,
-    gmres_solve,
-    identity_precond,
-    jacobi_precond,
-)
+from macroc_tpu.solve import cg_solve, gmres_solve, identity_precond
 
 
 @jax.tree_util.register_dataclass
@@ -87,10 +80,52 @@ class MacroProblem:
         self.B = jnp.asarray(
             b_for(self.grid.spacing, cfg.ref_b_quirk), dtype=self.dtype
         )
-        self.bc = bc_mod.build_bc(self.grid, cfg, dtype=self.dtype)
         self.engine = make_engine(cfg, self.dtype)
-        self.node_shape = (self.grid.nx, self.grid.ny, self.grid.nz)
-        self.elem_shape = (self.grid.nx - 1, self.grid.ny - 1, self.grid.nz - 1)
+
+        # --- computational (padded) grid ---------------------------------
+        # JAX NamedSharding requires shard-divisible dims, so the node box
+        # is padded up to multiples of the (px,py,pz) device grid.  Padded
+        # nodes are Dirichlet-constrained to 0 and padded elements are
+        # INACTIVE (their stress/tangent is masked to zero), so the real
+        # dofs see numerics identical to the unpadded problem while every
+        # array shards evenly.  (DMDA handled uneven splits with per-rank
+        # extents; even-padding is the TPU-native equivalent.)
+        g = self.grid
+        px, py, pz = g.procs
+
+        def _pad(n, p):
+            return -(-n // p) * p
+
+        self.real_shape = (g.nx, g.ny, g.nz)
+        self.node_shape = (_pad(g.nx, px), _pad(g.ny, py), _pad(g.nz, pz))
+        self.real_elem_shape = (g.nx - 1, g.ny - 1, g.nz - 1)
+        # element/GP arrays are STORED at node_shape (the trailing layer per
+        # dim is a permanently inactive slot) so every array in the step —
+        # nodes, elements, internal-variable state — shards with the same
+        # P('x','y','z') spec; kernels operate on the cropped (n-1) view.
+        self.elem_shape = self.node_shape
+
+        import numpy as _np
+
+        nex, ney, nez = self.real_elem_shape
+        elem_mask = _np.zeros(self.elem_shape, dtype=bool)
+        elem_mask[:nex, :ney, :nez] = True
+        self.elem_mask = jnp.asarray(elem_mask)
+
+        bc0 = bc_mod.build_bc(g, cfg, dtype=self.dtype)
+        mask = _np.ones(self.node_shape + (3,), dtype=bool)  # pads constrained
+        mask[: g.nx, : g.ny, : g.nz] = _np.asarray(bc0.mask)
+        val = _np.zeros(self.node_shape + (3,), dtype=_np.float64)
+        val[: g.nx, : g.ny, : g.nz] = _np.asarray(bc0.val_unit)
+        self.bc = bc_mod.BCData(
+            mask=jnp.asarray(mask), val_unit=jnp.asarray(val, dtype=self.dtype)
+        )
+
+    # ------------------------------------------------------------------ #
+    def unpad_u(self, u: jax.Array) -> jax.Array:
+        """Strip grid padding: computational (padded) -> real node box."""
+        nx, ny, nz = self.real_shape
+        return u[:nx, :ny, :nz]
 
     # ------------------------------------------------------------------ #
     def init_fields(self):
@@ -100,12 +135,25 @@ class MacroProblem:
         return u, state
 
     # ------------------------------------------------------------------ #
+    def _pad_gp(self, arr: jax.Array) -> jax.Array:
+        """Element-kernel output (n-1 dims) -> GP storage layout (node dims)."""
+        pad = [(0, 1), (0, 1), (0, 1)] + [(0, 0)] * (arr.ndim - 3)
+        return jnp.pad(arr, pad)
+
+    def _crop_gp(self, arr: jax.Array) -> jax.Array:
+        """GP storage layout -> element-kernel input (n-1 dims)."""
+        return arr[:-1, :-1, :-1]
+
+    # ------------------------------------------------------------------ #
     def residual(self, u: jax.Array, state: Any):
         """(b, norm, hom): negated+BC-zeroed residual, its L2 norm, and the
         homogenize result (assembly_res + VecNorm, main.c:66-68)."""
-        eps = compute_strains(u, self.B)
+        eps = self._pad_gp(compute_strains(u, self.B))
         hom = self.engine.homogenize(eps, state)
-        f = assemble_residual(hom.stress, self.B, self.grid.wg, self.node_shape)
+        stress = hom.stress * self.elem_mask[..., None, None]
+        f = assemble_residual(
+            self._crop_gp(stress), self.B, self.grid.wg, self.node_shape
+        )
         b = -bc_mod.apply_bc_on_res(f, self.bc)
         norm = jnp.sqrt(jnp.sum(b * b))
         return b, norm, hom
@@ -113,18 +161,55 @@ class MacroProblem:
     # ------------------------------------------------------------------ #
     def linear_solve(self, ctan: jax.Array, b: jax.Array):
         """Assemble the BC-eliminated operator from per-GP tangents and run
-        the configured Krylov method (assembly_jac + solve_Ax)."""
+        the configured Krylov method (assembly_jac + solve_Ax).
+
+        Stencil paths work in SoA layout — A (27,3,3,nx,ny,nz), vectors
+        (3,nx,ny,nz) — so SpMV's minor dims map onto TPU (sublane, lane)
+        tiles and the matvec runs at HBM-roofline speed; the one-time
+        transposes per Newton iteration are noise next to the CG loop."""
         cfg = self.cfg
-        if cfg.operator == "stencil":
+        if cfg.operator in ("stencil", "stencil_pallas"):
+            from macroc_tpu.ops.stencil_pallas import (
+                stencil_matvec_pallas,
+                stencil_matvec_soa,
+                to_soa,
+                x_from_soa,
+                x_to_soa,
+            )
+            from macroc_tpu.solve.precond import (
+                block_jacobi_precond_soa,
+                jacobi_precond_soa,
+            )
+
             A27 = assemble_stencil(ctan, self.B, self.grid.wg, self.node_shape)
             A27 = bc_mod.apply_bc_stencil(A27, self.bc)
-            mv = partial(stencil_matvec, A27)
+            A_soa = to_soa(A27)
+            if cfg.operator == "stencil_pallas":
+                mv = partial(stencil_matvec_pallas, A_soa)
+            else:
+                mv = partial(stencil_matvec_soa, A_soa)
             if cfg.pc_type == "jacobi":
-                M = jacobi_precond(A27)
+                M = jacobi_precond_soa(A_soa)
             elif cfg.pc_type == "bjacobi":
-                M = block_jacobi_precond(A27)
+                M = block_jacobi_precond_soa(A_soa)
             else:
                 M = identity_precond()
+            common = dict(
+                rtol=cfg.ksp_rtol,
+                abstol=cfg.ksp_abstol,
+                dtol=cfg.ksp_dtol,
+                maxits=cfg.ksp_maxits,
+            )
+            b_soa = x_to_soa(b)
+            if cfg.ksp_type == "cg":
+                res = cg_solve(mv, b_soa, M, **common)
+            elif cfg.ksp_type == "gmres":
+                res = gmres_solve(
+                    mv, b_soa, M, restart=cfg.gmres_restart, **common
+                )
+            else:
+                raise ValueError(f"unknown ksp_type '{cfg.ksp_type}'")
+            return res._replace(x=x_from_soa(res.x))
         elif cfg.operator == "matfree":
             raw = matfree_matvec(ctan, self.B, self.grid.wg, self.node_shape)
             mv = bc_mod.bc_operator(raw, self.bc)
@@ -183,6 +268,8 @@ class MacroProblem:
         def cond(c):
             return jnp.logical_and(~c["done"], c["it"] < max_its)
 
+        emask = self.elem_mask[..., None]
+
         def body(c):
             b, norm, hom = self.residual(c["u"], state)
             norm0 = jnp.where(c["nhom"] == 0, norm, c["norm0"])
@@ -193,7 +280,9 @@ class MacroProblem:
             )
 
             def do_solve(_):
-                res = self.linear_solve(hom.ctan, b)
+                # padded (inactive) elements contribute zero stiffness
+                ctan = self._crop_gp(hom.ctan * emask[..., None, None])
+                res = self.linear_solve(ctan, b)
                 return c["u"] + res.x, res.its, res.rnorm
 
             def no_solve(_):
@@ -210,10 +299,10 @@ class MacroProblem:
             return dict(
                 u=u_new,
                 trial=hom.trial_state,
-                stress=hom.stress,
-                non_linear=hom.non_linear,
-                f_trial=hom.f_trial,
-                cost=hom.cost,
+                stress=hom.stress * emask[..., None],
+                non_linear=jnp.logical_and(hom.non_linear, emask),
+                f_trial=jnp.where(emask, hom.f_trial, -jnp.inf),
+                cost=hom.cost * emask,
                 it=it,
                 nhom=nhom,
                 norm0=norm0,
@@ -226,7 +315,9 @@ class MacroProblem:
         c = jax.lax.while_loop(cond, body, carry0)
 
         new_state = c["trial"]  # update_vars (main.c:83)
-        force = calc_force(c["stress"], self.grid, cfg)
+        # diagnostics restricted to the real (unpadded) element box
+        nex, ney, nez = self.real_elem_shape
+        stress = c["stress"][:nex, :ney, :nez]
         diag = StepDiagnostics(
             res_norms=c["res_norms"],
             ksp_its=c["ksp_its"],
@@ -234,11 +325,11 @@ class MacroProblem:
             n_homogenize=c["nhom"],
             n_solves=c["it"],
             converged=c["done"],
-            force=force,
-            f_trial_max=jnp.max(c["f_trial"]),
-            non_linear=c["non_linear"],
-            cost=c["cost"],
-            stress=c["stress"],
+            force=calc_force(stress, self.grid, cfg),
+            f_trial_max=jnp.max(c["f_trial"][:nex, :ney, :nez]),
+            non_linear=c["non_linear"][:nex, :ney, :nez],
+            cost=c["cost"][:nex, :ney, :nez],
+            stress=stress,
         )
         return c["u"], new_state, diag
 

@@ -43,6 +43,33 @@ def block_jacobi_precond(A27: jax.Array):
     return apply
 
 
+def jacobi_precond_soa(A_soa: jax.Array):
+    """Jacobi preconditioner in SoA layout: A_soa (27,3,3,nx,ny,nz),
+    vectors (3,nx,ny,nz)."""
+    from macroc_tpu.fem.kernels import DIAG_OFFSET
+
+    d = A_soa[DIAG_OFFSET]  # (3,3,nx,ny,nz)
+    inv = 1.0 / jnp.stack([d[0, 0], d[1, 1], d[2, 2]], axis=0)
+
+    def apply(r):
+        return r * inv
+
+    return apply
+
+
+def block_jacobi_precond_soa(A_soa: jax.Array):
+    """Block-Jacobi (3x3 nodal blocks) in SoA layout."""
+    from macroc_tpu.fem.kernels import DIAG_OFFSET
+
+    D = jnp.moveaxis(A_soa[DIAG_OFFSET], (0, 1), (-2, -1))  # (nx,ny,nz,3,3)
+    inv = _inv3x3(D)
+
+    def apply(r):
+        return jnp.einsum("xyzde,exyz->dxyz", inv, r)
+
+    return apply
+
+
 def _inv3x3(m: jax.Array) -> jax.Array:
     """Batched closed-form 3x3 inverse; m: (..., 3, 3)."""
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]

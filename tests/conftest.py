@@ -17,4 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize forces jax_platforms="axon,cpu"; override it after
+# import so tests always run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from macroc_tpu.utils.cache import setup_runtime  # noqa: E402
+
+setup_runtime()

@@ -1,0 +1,86 @@
+"""IO writers: info.dat / gauss_evolution.dat formats, VTU/PVTU structure,
+checkpoint save/load."""
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+import jax.numpy as jnp
+import numpy as np
+
+from macroc_tpu.config import MacroConfig
+from macroc_tpu.grid import StructuredGrid3D
+from macroc_tpu.io import GaussEvolutionWriter, InfoWriter, write_pvtu
+from macroc_tpu.utils import checkpoint as ckpt
+
+
+def test_info_format(tmp_path):
+    p = str(tmp_path / "info.dat")
+    with InfoWriter(p) as w:
+        w.write_row(0, 0.0, -0.001, 123.4, 5.6e3, 42)
+    line = open(p).read().strip()
+    cols = line.split("\t")
+    # reference row: ts, t, U, force, f_trial_max, nl_gps (main.c:96-97)
+    assert len(cols) == 6
+    assert cols[0] == "0" and cols[5] == "42"
+    assert re.match(r"-?\d\.\d{6}e[+-]\d{2}", cols[1])
+
+
+def test_gauss_format(tmp_path):
+    p = str(tmp_path / "gauss.dat")
+    with GaussEvolutionWriter(p) as w:
+        w.write_row(3, [1, 2, 3, 4])
+    assert open(p).read() == "3\t1\t2\t3\t4\t\n"
+
+
+def test_vtu_pvtu_structure(tmp_path):
+    grid = StructuredGrid3D(4, 3, 3, 3.0, 2.0, 2.0, procs=(2, 1, 1))
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(4, 3, 3, 3))
+    stress = rng.normal(size=(3, 2, 2, 8, 6))
+    strain = rng.normal(size=(3, 2, 2, 8, 6))
+    nl = rng.integers(0, 2, size=(3, 2, 2, 8)).astype(bool)
+    cost = rng.uniform(size=(3, 2, 2, 8))
+    path = write_pvtu(
+        "sol_0", grid, u, stress, strain, nl, cost, grid.wg,
+        outdir=str(tmp_path),
+    )
+    root = ET.parse(path).getroot()
+    pieces = root.findall(".//Piece")
+    assert len(pieces) == 2  # one per rank
+    for r in range(2):
+        vtu = tmp_path / f"sol_0-subdo-{r}.vtu"
+        assert vtu.exists()
+        vr = ET.parse(vtu).getroot()
+        piece = vr.find(".//Piece")
+        b = grid.local_box(r)
+        assert int(piece.get("NumberOfPoints")) == (
+            b.nx_ghost * b.ny_ghost * b.nz_ghost
+        )
+        assert int(piece.get("NumberOfCells")) == b.nelem
+        names = [da.get("Name") for da in vr.findall(".//DataArray")]
+        for want in ["Position", "connectivity", "offsets", "types",
+                     "displ", "part", "cost", "non-linear", "strain",
+                     "stress"]:
+            assert want in names
+        # connectivity indices within point range
+        conn_el = [da for da in vr.findall(".//DataArray")
+                   if da.get("Name") == "connectivity"][0]
+        ids = [int(v) for v in conn_el.text.split()]
+        assert len(ids) == b.nelem * 8
+        assert min(ids) >= 0
+        assert max(ids) < b.nx_ghost * b.ny_ghost * b.nz_ghost
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path / "ck")
+    tree = (jnp.arange(12.0).reshape(3, 4), {"a": jnp.ones((2, 2))})
+    ckpt.save(d, 7, tree)
+    ckpt.save(d, 9, tree)
+    out = ckpt.load_latest(d, tree)
+    assert out is not None
+    step, loaded = out
+    assert step == 9
+    assert np.allclose(np.asarray(loaded[0]), np.arange(12.0).reshape(3, 4))
+    assert np.allclose(np.asarray(loaded[1]["a"]), 1.0)
+    assert ckpt.load_latest(str(tmp_path / "none"), tree) is None

@@ -1,0 +1,122 @@
+"""Micro-FE homogenization engine oracles.
+
+Key identity: for a HOMOGENEOUS RVE under linear-displacement BCs, the
+affine field solves the micro problem exactly, so the homogenized response
+must equal the closed-form point response (the J2 engine).  This validates
+the whole micro pipeline — affine BCs, assembly, CG, radial return,
+volume averaging — against an independent closed form.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macroc_tpu.config import (
+    MIC_HOMOGENEOUS,
+    MIC_LAYER_Y,
+    MIC_SPHERE,
+    MaterialParams,
+)
+from macroc_tpu.constitutive import J2Engine
+from macroc_tpu.constitutive.elastic import elastic_matrix
+from macroc_tpu.constitutive.microfe import MicroFEEngine, material2_mask
+
+MAT = MaterialParams()
+SOFT = MaterialParams(E=1e6, nu=0.3, Sy=1e4, Ka=1e7)
+
+
+def make_engine(**kw):
+    args = dict(
+        n=2, micro_type=MIC_HOMOGENEOUS, mat1=MAT, mat2=MAT,
+        dtype=jnp.float64, newton_its=2, cg_rtol=1e-12,
+    )
+    args.update(kw)
+    return MicroFEEngine(**args)
+
+
+def test_material_masks():
+    m = material2_mask(4, MIC_LAYER_Y, (1, 1, 1, 0.5))
+    assert m[:, :2, :].all() and not m[:, 2:, :].any()
+    s = material2_mask(8, MIC_SPHERE, (1, 1, 1, 0.5))
+    assert s[4, 4, 4] and not s[0, 0, 0]
+    assert not material2_mask(4, MIC_HOMOGENEOUS, (1, 1, 1, 0.5)).any()
+
+
+def test_homogeneous_elastic_matches_closed_form():
+    eng = make_engine()
+    eps = jnp.asarray([1e-4, -2e-5, 3e-5, 4e-5, -1e-5, 2e-5], jnp.float64)
+    state = eng.init_state(())
+    r = eng.homogenize(eps, state)
+    C = elastic_matrix(MAT)
+    assert np.allclose(np.asarray(r.stress), C @ np.asarray(eps), rtol=1e-8)
+    # FD tangent: zero entries carry CG-solve noise of order |C| * (cg_rtol
+    # * |sigma| / (2h)) — compare with a C-scaled atol
+    assert np.allclose(np.asarray(r.ctan), C, rtol=1e-4, atol=1e-4 * C.max())
+    assert not bool(r.non_linear)
+
+
+def test_homogeneous_plastic_matches_j2():
+    eng = make_engine(newton_its=4)
+    j2 = J2Engine(MAT, dtype=jnp.float64)
+    eps = jnp.asarray([3e-3, 0, 0, 1e-3, 0, 0], jnp.float64)
+    rm = eng.homogenize(eps, eng.init_state(()))
+    rj = j2.homogenize(eps, j2.init_state(()))
+    assert bool(rm.non_linear) and bool(rj.non_linear)
+    assert np.allclose(
+        np.asarray(rm.stress), np.asarray(rj.stress), rtol=1e-5
+    )
+    # FD tangent vs analytic consistent tangent
+    assert np.allclose(
+        np.asarray(rm.ctan), np.asarray(rj.ctan),
+        rtol=5e-3, atol=1e-3 * float(jnp.abs(rj.ctan).max()),
+    )
+    # committed state equivalence: alpha equal across the (uniform) RVE
+    alpha = np.asarray(rm.trial_state.alpha)
+    assert np.allclose(alpha, float(rj.trial_state.alpha), rtol=1e-5)
+
+
+def test_update_vars_semantics():
+    """homogenize must not mutate state; commit advances it."""
+    eng = make_engine(newton_its=3)
+    eps = jnp.asarray([3e-3, 0, 0, 0, 0, 0], jnp.float64)
+    s0 = eng.init_state(())
+    r1 = eng.homogenize(eps, s0)
+    r2 = eng.homogenize(eps, s0)  # same committed state -> same answer
+    assert np.allclose(np.asarray(r1.stress), np.asarray(r2.stress))
+    s1 = r1.trial_state
+    assert float(jnp.abs(s1.eps_p).max()) > 0
+    # after commit, elastic re-evaluation at same strain stays on surface
+    r3 = eng.homogenize(eps, s1)
+    assert float(r3.f_trial) <= 1e-6 * MAT.Sy
+
+
+def test_two_phase_bounds():
+    """Layered RVE: homogenized axial stiffness must lie within the
+    Reuss(series)/Voigt(parallel) bounds of the two phases."""
+    eng = make_engine(
+        n=4, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT, newton_its=2
+    )
+    eps = jnp.zeros(6, jnp.float64).at[1].set(1e-5)  # loading across layers
+    r = eng.homogenize(eps, eng.init_state(()))
+    C1 = elastic_matrix(MAT)
+    C2 = elastic_matrix(SOFT)
+    c_hom = float(r.stress[1] / 1e-5)
+    voigt = 0.5 * (C1[1, 1] + C2[1, 1])
+    reuss = 1.0 / (0.5 / C1[1, 1] + 0.5 / C2[1, 1])
+    assert reuss * 0.8 <= c_hom <= voigt * 1.02
+    # softer than the stiff phase, stiffer than the soft phase
+    assert C2[1, 1] < c_hom < C1[1, 1]
+
+
+def test_batched_gps():
+    eng = make_engine()
+    rng = np.random.default_rng(0)
+    eps = jnp.asarray(rng.normal(size=(3, 8, 6)) * 1e-4)
+    state = eng.init_state((3, 8))
+    r = eng.homogenize(eps, state)
+    assert r.stress.shape == (3, 8, 6)
+    assert r.ctan.shape == (3, 8, 6, 6)
+    C = elastic_matrix(MAT)
+    assert np.allclose(
+        np.asarray(r.stress), np.asarray(eps) @ C.T, rtol=1e-7, atol=1e-4
+    )

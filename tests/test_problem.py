@@ -1,0 +1,101 @@
+"""End-to-end Newton/time-step semantics (the reference driver contract,
+main.c:49-108) on tiny grids, plus operator-path cross-checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macroc_tpu.config import BC_BENDING, MacroConfig
+from macroc_tpu.problem import MacroProblem
+
+BASE = dict(
+    nx=5, ny=3, nz=3, lx=4.0, ly=2.0, lz=2.0,
+    bc_type=BC_BENDING, dtype="float64", ts=3,
+    dt=0.001, u_max=-1.0,
+)
+
+
+@pytest.fixture(scope="module")
+def run_stencil():
+    cfg = MacroConfig(**BASE)
+    p = MacroProblem(cfg, n_devices=1)
+    u, state = p.init_fields()
+    outs = []
+    for ts in range(cfg.ts):
+        U = cfg.displacement(ts)
+        u, state, diag = p.time_step_jit(u, state, jnp.asarray(U, p.dtype))
+        outs.append((np.asarray(u), diag))
+    return cfg, p, outs
+
+
+def test_step0_zero_load_converges_without_solve(run_stencil):
+    cfg, p, outs = run_stencil
+    u0, d0 = outs[0]
+    # U(0)=0 -> zero residual -> reference does 1 homogenize, 0 solves
+    assert int(d0.n_homogenize) == 1
+    assert int(d0.n_solves) == 0
+    assert bool(d0.converged)
+    assert float(d0.res_norms[0]) == 0.0
+    assert np.allclose(u0, 0.0)
+
+
+def test_step1_newton_converges(run_stencil):
+    cfg, p, outs = run_stencil
+    u1, d1 = outs[1]
+    norms = np.asarray(d1.res_norms)
+    nhom = int(d1.n_homogenize)
+    assert bool(d1.converged)
+    assert int(d1.n_solves) >= 1
+    # convergence rule: last norm < min_tol OR < norm0 * rel_tol (main.c:73)
+    last = norms[nhom - 1]
+    assert last < cfg.newton_min_tol or last < norms[0] * cfg.newton_rel_tol
+    # elastic problem: one Newton solve should nail it
+    assert norms[1] < norms[0] * 1e-3
+
+
+def test_bc_values_on_u(run_stencil):
+    cfg, p, outs = run_stencil
+    u1, _ = outs[1]
+    U1 = cfg.displacement(1)
+    assert np.allclose(u1[0], 0.0, atol=1e-12)
+    assert np.allclose(u1[-1, :, :, 1], U1, atol=1e-12)
+    assert np.allclose(u1[-1, :, :, 0], 0.0, atol=1e-12)
+    # interior must have moved
+    assert np.abs(u1[1:-1]).max() > 1e-8
+
+
+def test_force_scales_linearly_elastic(run_stencil):
+    cfg, p, outs = run_stencil
+    f1 = float(outs[1][1].force)
+    f2 = float(outs[2][1].force)
+    assert f1 != 0.0
+    assert np.isclose(f2 / f1, 2.0, rtol=1e-3)  # force ~ U while elastic
+
+
+def test_matfree_path_matches_stencil(run_stencil):
+    cfg0, p0, outs = run_stencil
+    cfg = MacroConfig(**{**BASE, "operator": "matfree"})
+    p = MacroProblem(cfg, n_devices=1)
+    u, state = p.init_fields()
+    for ts in range(2):
+        U = cfg.displacement(ts)
+        u, state, diag = p.time_step_jit(u, state, jnp.asarray(U, p.dtype))
+    assert np.allclose(np.asarray(u), outs[1][0], rtol=1e-6, atol=1e-10)
+
+
+def test_plasticity_activates_under_large_load():
+    """Crank the load so GPs go plastic: non-linear count > 0, f_trial > 0,
+    and committed internal variables persist to the next step."""
+    cfg = MacroConfig(**{**BASE, "dt": 0.2, "ts": 2, "newton_max_its": 10})
+    p = MacroProblem(cfg, n_devices=1)
+    u, state = p.init_fields()
+    diags = []
+    for ts in range(2):
+        U = cfg.displacement(ts)
+        u, state, diag = p.time_step_jit(u, state, jnp.asarray(U, p.dtype))
+        diags.append(diag)
+    d1 = diags[1]
+    assert int(np.asarray(d1.non_linear).sum()) > 0
+    assert float(d1.f_trial_max) > 0.0
+    assert float(np.abs(np.asarray(state.eps_p)).max()) > 0.0
+    assert bool(d1.converged)

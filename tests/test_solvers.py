@@ -1,0 +1,114 @@
+"""Krylov solver oracles: CG/GMRES against dense numpy solves on the real
+BC-eliminated elastic stencil operator, plus PETSc-semantics edge cases."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macroc_tpu import bc as bc_mod
+from macroc_tpu.config import MacroConfig, MaterialParams, BC_BENDING
+from macroc_tpu.constitutive.elastic import elastic_matrix
+from macroc_tpu.fem.element import b_matrix
+from macroc_tpu.fem.kernels import assemble_stencil
+from macroc_tpu.grid import make_grid
+from macroc_tpu.ops.stencil import stencil_matvec, stencil_to_dense
+from macroc_tpu.solve import (
+    block_jacobi_precond,
+    cg_solve,
+    gmres_solve,
+    jacobi_precond,
+)
+from macroc_tpu.solve.cg import KSP_CONVERGED_ATOL, KSP_CONVERGED_RTOL
+
+
+@pytest.fixture(scope="module")
+def system():
+    """Small bending-BC elastic system: assembled stencil + dense oracle."""
+    cfg = MacroConfig(
+        nx=4, ny=3, nz=3, lx=3.0, ly=2.0, lz=2.0,
+        bc_type=BC_BENDING, dtype="float64", ref_b_quirk=False,
+    )
+    grid = make_grid(cfg, 1)
+    B = jnp.asarray(b_matrix(grid.spacing))
+    C = elastic_matrix(MaterialParams())
+    shape = (grid.nx, grid.ny, grid.nz)
+    ne = (grid.nx - 1, grid.ny - 1, grid.nz - 1)
+    ctan = jnp.broadcast_to(jnp.asarray(C), ne + (8, 6, 6))
+    A27 = assemble_stencil(ctan, B, grid.wg, shape)
+    bc = bc_mod.build_bc(grid, cfg, dtype=jnp.float64)
+    A27 = bc_mod.apply_bc_stencil(A27, bc)
+    dense = stencil_to_dense(A27)
+    rng = np.random.default_rng(7)
+    b = rng.normal(size=shape + (3,))
+    # consistent RHS: zero at Dirichlet dofs (as the Newton residual is)
+    b = np.where(np.asarray(bc.mask), 0.0, b)
+    return A27, dense, jnp.asarray(b), shape
+
+
+def test_bc_stencil_symmetric_spd(system):
+    A27, dense, b, shape = system
+    assert np.allclose(dense, dense.T, atol=1e-9)
+    w = np.linalg.eigvalsh(dense)
+    assert w.min() > 0  # SPD after symmetric Dirichlet elimination
+
+
+def test_cg_matches_dense(system):
+    A27, dense, b, shape = system
+    res = cg_solve(
+        lambda x: stencil_matvec(A27, x), b, jacobi_precond(A27), rtol=1e-12
+    )
+    expect = np.linalg.solve(dense, np.asarray(b).reshape(-1)).reshape(
+        shape + (3,)
+    )
+    assert int(res.reason) in (KSP_CONVERGED_RTOL, KSP_CONVERGED_ATOL)
+    assert np.allclose(np.asarray(res.x), expect, atol=1e-8)
+    assert int(res.its) > 0
+
+
+def test_cg_block_jacobi_converges_faster_or_equal(system):
+    A27, dense, b, shape = system
+    mv = lambda x: stencil_matvec(A27, x)
+    r1 = cg_solve(mv, b, jacobi_precond(A27), rtol=1e-10)
+    r2 = cg_solve(mv, b, block_jacobi_precond(A27), rtol=1e-10)
+    expect = np.linalg.solve(dense, np.asarray(b).reshape(-1)).reshape(
+        shape + (3,)
+    )
+    assert np.allclose(np.asarray(r2.x), expect, atol=1e-6)
+    assert int(r2.its) <= int(r1.its) + 5  # bjacobi at least comparable
+
+
+def test_cg_zero_rhs_immediate(system):
+    A27, dense, b, shape = system
+    res = cg_solve(
+        lambda x: stencil_matvec(A27, x), jnp.zeros_like(b), jacobi_precond(A27)
+    )
+    assert int(res.its) == 0
+    assert np.allclose(np.asarray(res.x), 0.0)
+
+
+def test_gmres_matches_dense(system):
+    A27, dense, b, shape = system
+    res = gmres_solve(
+        lambda x: stencil_matvec(A27, x),
+        b,
+        jacobi_precond(A27),
+        rtol=1e-12,
+        restart=30,
+    )
+    expect = np.linalg.solve(dense, np.asarray(b).reshape(-1)).reshape(
+        shape + (3,)
+    )
+    assert int(res.reason) in (KSP_CONVERGED_RTOL, KSP_CONVERGED_ATOL)
+    assert np.allclose(np.asarray(res.x), expect, atol=1e-7)
+
+
+def test_gmres_nonsymmetric():
+    """GMRES must handle a general nonsymmetric system (CG cannot)."""
+    rng = np.random.default_rng(3)
+    n = 40
+    A = np.eye(n) * 4.0 + rng.normal(size=(n, n)) * 0.3
+    b = rng.normal(size=(n,))
+    res = gmres_solve(
+        lambda x: jnp.asarray(A) @ x, jnp.asarray(b), rtol=1e-12, restart=15
+    )
+    assert np.allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-8)
