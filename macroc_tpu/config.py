@@ -123,14 +123,23 @@ class MacroConfig:
     # shape-function derivatives always use dx=dy=dz=1 while the quadrature
     # weight uses the real spacing.  True = bit-compatible with reference.
     ref_b_quirk: bool = True
-    # Operator form for the Krylov solve: "stencil" (assembled 27-point BSR)
-    # or "matfree" (element-loop action, no assembled matrix).
-    operator: str = "stencil"
+    # Operator form for the Krylov solve:
+    #   "auto"           — Pallas stencil kernel on TPU for large grids
+    #                      (nz >= 128, where it measures ~2x the jnp path),
+    #                      fused-jnp stencil otherwise
+    #   "stencil"        — assembled 27-point BSR, fused-jnp SpMV (portable)
+    #   "stencil_pallas" — assembled BSR, Pallas SpMV kernel (TPU only)
+    #   "matfree"        — element-loop operator action, no assembled matrix
+    operator: str = "auto"
 
     # Checkpoint / resume (TPU-native addition; reference has none, SURVEY §5.4)
     checkpoint_freq: int = -1
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
+
+    # Profiling (TPU-native replacement for HPCToolkit/-log_view, SURVEY §5.1)
+    profile_dir: str = ""      # jax.profiler trace output dir ("" = off)
+    log_phases: bool = False   # print per-phase wall-clock table at the end
 
     @property
     def nex_global(self) -> int:
@@ -206,6 +215,7 @@ _STR_FLAGS = {
     "-operator": "operator",
     "-output_dir": "output_dir",
     "-checkpoint_dir": "checkpoint_dir",
+    "-profile_dir": "profile_dir",
 }
 
 
@@ -259,6 +269,9 @@ def parse_cli(argv: Sequence[str], base: Optional[MacroConfig] = None) -> MacroC
             i += 2
         elif tok == "-resume":
             cfg["resume"] = True
+            i += 1
+        elif tok == "-log_phases":
+            cfg["log_phases"] = True
             i += 1
         else:
             i += 1  # ignore unknown flags (PETSc behavior)

@@ -29,6 +29,7 @@ from macroc_tpu.forces import per_rank_nonlinear_counts
 from macroc_tpu.io import GaussEvolutionWriter, InfoWriter, write_pvtu
 from macroc_tpu.problem import MacroProblem
 from macroc_tpu.utils import checkpoint as ckpt
+from macroc_tpu.utils.profiling import PhaseTimer, trace
 
 
 class Simulation:
@@ -101,14 +102,19 @@ class Simulation:
             os.path.join(cfg.output_dir, "gauss_evolution.dat")
         )
 
+        timer = PhaseTimer()
         t1 = time.time()
         history = []
+        profiler = trace(cfg.profile_dir or None)
+        profiler.__enter__()
         for time_s in range(start_step, cfg.ts):
             L(f"\n\nTime Step = {time_s}\n")
             U = cfg.displacement(time_s)
-            u, state, diag = self.problem.time_step_jit(
-                u, state, np.asarray(U, dtype=self.problem.dtype)
-            )
+            with timer.phase("time_step"):
+                u, state, diag = self.problem.time_step_jit(
+                    u, state, np.asarray(U, dtype=self.problem.dtype)
+                )
+                jax.block_until_ready(diag.res_norms)
 
             # --- host-side logging from the diagnostics arrays ---
             res_norms = np.asarray(diag.res_norms)
@@ -152,24 +158,27 @@ class Simulation:
             )
 
             if cfg.vtu_freq > 0 and time_s % cfg.vtu_freq == 0:
-                u_real = self.problem.unpad_u(u)
-                strain = compute_strains(u_real, self.problem.B)
-                write_pvtu(
-                    f"solution_{time_s}",
-                    self.grid,
-                    np.asarray(u_real),
-                    np.asarray(diag.stress),
-                    np.asarray(strain),
-                    nl,
-                    np.asarray(diag.cost),
-                    self.grid.wg,
-                    outdir=cfg.output_dir,
-                )
+                with timer.phase("vtu_output"):
+                    u_real = self.problem.unpad_u(u)
+                    strain = compute_strains(u_real, self.problem.B)
+                    write_pvtu(
+                        f"solution_{time_s}",
+                        self.grid,
+                        np.asarray(u_real),
+                        np.asarray(diag.stress),
+                        np.asarray(strain),
+                        nl,
+                        np.asarray(diag.cost),
+                        self.grid.wg,
+                        outdir=cfg.output_dir,
+                    )
 
             if cfg.checkpoint_freq > 0 and (time_s + 1) % cfg.checkpoint_freq == 0:
-                ckpt.save(cfg.checkpoint_dir, time_s + 1, (u, state))
+                with timer.phase("checkpoint"):
+                    ckpt.save(cfg.checkpoint_dir, time_s + 1, (u, state))
 
         jax.block_until_ready(u)
+        profiler.__exit__(None, None, None)
         t2 = time.time()
         L(
             "\n\n"
@@ -178,6 +187,8 @@ class Simulation:
             "------------------------------------------------------------\n"
         )
         L(f"Elapsed time : {t2 - t1:f}\n")
+        if cfg.log_phases and timer.totals:
+            L(timer.report() + "\n")
         info.close()
         gauss.close()
         return dict(u=u, state=state, history=history, elapsed=t2 - t1)

@@ -1,0 +1,135 @@
+"""Explicit halo exchange over the device mesh (shard_map + ppermute).
+
+The automatic path lets XLA's SPMD partitioner insert halo communication
+for the shifted-slice kernels (parallel/mesh.py).  This module is the
+EXPLICIT equivalent — the TPU-native counterpart of the reference's
+DMGlobalToLocal (forward INSERT) and DMLocalToGlobal (reverse ADD) scatters
+(reference: src/assembly.c:40-41, 164-165):
+
+  halo_exchange      : grow each local block by 1 node per face with
+                       neighbor data (zeros at the global boundary) —
+                       DMGlobalToLocal INSERT_VALUES over a box stencil.
+                       Sequential per-axis exchanges propagate edges and
+                       corners automatically (each round forwards the halos
+                       already received), exactly like DMDA's 3-phase
+                       box-stencil scatter.
+  halo_fold_add      : fold halo slots back onto their owners by reverse
+                       ppermute + add — DMLocalToGlobal ADD_VALUES.
+
+Both are built on lax.ppermute, whose unreceiving devices get zeros —
+matching the non-periodic (DM_BOUNDARY_NONE) grid.  Functions must be
+called INSIDE a shard_map over a Mesh('x','y','z').
+
+shmap_stencil_matvec wires these into an explicit-collective SpMV
+(each device: exchange x halos, apply its local 27-point block stencil),
+numerically identical to the global stencil_matvec_soa — the building
+block for halo/compute-overlap kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from macroc_tpu.fem.kernels import STENCIL_OFFSETS
+
+
+def _axis_size(axis_name: str) -> int:
+    return jax.lax.psum(1, axis_name)
+
+
+def exchange_axis(x: jax.Array, axis_name: str, dim: int) -> jax.Array:
+    """Grow `x` by one slab on each side of `dim` with neighbor faces."""
+    n = _axis_size(axis_name)
+    L = x.shape[dim]
+    lo = jax.lax.slice_in_dim(x, 0, 1, axis=dim)
+    hi = jax.lax.slice_in_dim(x, L - 1, L, axis=dim)
+    if n == 1:
+        zero = jnp.zeros_like(lo)
+        return jnp.concatenate([zero, x, zero], axis=dim)
+    # my high face -> right neighbor's low halo; my low face -> left's high
+    to_right = [(i, i + 1) for i in range(n - 1)]
+    to_left = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(hi, axis_name, to_right)
+    from_right = jax.lax.ppermute(lo, axis_name, to_left)
+    return jnp.concatenate([from_left, x, from_right], axis=dim)
+
+
+def fold_axis_add(xe: jax.Array, axis_name: str, dim: int) -> jax.Array:
+    """Reverse of exchange_axis: add the two halo slabs of `dim` onto the
+    neighbors that own them; return the core block."""
+    n = _axis_size(axis_name)
+    L = xe.shape[dim] - 2
+    lo_halo = jax.lax.slice_in_dim(xe, 0, 1, axis=dim)
+    hi_halo = jax.lax.slice_in_dim(xe, L + 1, L + 2, axis=dim)
+    core = jax.lax.slice_in_dim(xe, 1, L + 1, axis=dim)
+    if n == 1:
+        return core
+    to_right = [(i, i + 1) for i in range(n - 1)]
+    to_left = [(i + 1, i) for i in range(n - 1)]
+    # my low halo belongs to the left neighbor's last plane
+    recv_hi = jax.lax.ppermute(lo_halo, axis_name, to_left)
+    # my high halo belongs to the right neighbor's first plane
+    recv_lo = jax.lax.ppermute(hi_halo, axis_name, to_right)
+    first = jax.lax.slice_in_dim(core, 0, 1, axis=dim) + recv_lo
+    last = jax.lax.slice_in_dim(core, L - 1, L, axis=dim) + recv_hi
+    mid = jax.lax.slice_in_dim(core, 1, L - 1, axis=dim)
+    return jnp.concatenate([first, mid, last], axis=dim)
+
+
+def halo_exchange(
+    x: jax.Array,
+    dims: Sequence[int] = (0, 1, 2),
+    axes: Sequence[str] = ("x", "y", "z"),
+) -> jax.Array:
+    """Box-stencil forward halo exchange (INSERT) over all mesh axes."""
+    for axis_name, dim in zip(axes, dims):
+        x = exchange_axis(x, axis_name, dim)
+    return x
+
+
+def halo_fold_add(
+    xe: jax.Array,
+    dims: Sequence[int] = (0, 1, 2),
+    axes: Sequence[str] = ("x", "y", "z"),
+) -> jax.Array:
+    """Box-stencil reverse halo fold (ADD) over all mesh axes."""
+    for axis_name, dim in reversed(list(zip(axes, dims))):
+        xe = fold_axis_add(xe, axis_name, dim)
+    return xe
+
+
+def shmap_stencil_matvec(mesh: Mesh, A_soa: jax.Array, x_soa: jax.Array):
+    """Explicit-collective SpMV: y = A x with per-axis ppermute halos.
+
+    A_soa (27,3,3,nx,ny,nz) and x_soa (3,nx,ny,nz) are global arrays
+    (sharded or not); the shard_map distributes them P('x','y','z') on the
+    spatial dims and each device applies its local stencil block to the
+    halo-extended local x.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, None, "x", "y", "z"), P(None, "x", "y", "z")),
+        out_specs=P(None, "x", "y", "z"),
+    )
+    def mv(Al, xl):
+        lnx, lny, lnz = xl.shape[1:]
+        xe = halo_exchange(xl, dims=(1, 2, 3))
+        y = jnp.zeros_like(xl)
+        for o, (di, dj, dk) in enumerate(STENCIL_OFFSETS):
+            xw = xe[
+                :,
+                1 + di:1 + di + lnx,
+                1 + dj:1 + dj + lny,
+                1 + dk:1 + dk + lnz,
+            ]
+            y = y + jnp.einsum("dexyz,exyz->dxyz", Al[o], xw)
+        return y
+
+    return mv(A_soa, x_soa)

@@ -168,7 +168,12 @@ class MacroProblem:
         tiles and the matvec runs at HBM-roofline speed; the one-time
         transposes per Newton iteration are noise next to the CG loop."""
         cfg = self.cfg
-        if cfg.operator in ("stencil", "stencil_pallas"):
+        operator = cfg.operator
+        if operator == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            big = self.node_shape[2] >= 128
+            operator = "stencil_pallas" if (on_tpu and big) else "stencil"
+        if operator in ("stencil", "stencil_pallas"):
             from macroc_tpu.ops.stencil_pallas import (
                 stencil_matvec_pallas,
                 stencil_matvec_soa,
@@ -184,7 +189,7 @@ class MacroProblem:
             A27 = assemble_stencil(ctan, self.B, self.grid.wg, self.node_shape)
             A27 = bc_mod.apply_bc_stencil(A27, self.bc)
             A_soa = to_soa(A27)
-            if cfg.operator == "stencil_pallas":
+            if operator == "stencil_pallas":
                 mv = partial(stencil_matvec_pallas, A_soa)
             else:
                 mv = partial(stencil_matvec_soa, A_soa)
@@ -192,6 +197,17 @@ class MacroProblem:
                 M = jacobi_precond_soa(A_soa)
             elif cfg.pc_type == "bjacobi":
                 M = block_jacobi_precond_soa(A_soa)
+            elif cfg.pc_type == "mg":
+                from macroc_tpu.solve.mg import (
+                    build_hierarchy,
+                    make_mg_preconditioner,
+                )
+
+                bc_mask_soa = jnp.moveaxis(self.bc.mask, -1, 0)
+                levels = build_hierarchy(
+                    ctan, bc_mask_soa, self.grid.spacing, cfg.ref_b_quirk
+                )
+                M = make_mg_preconditioner(levels)
             else:
                 M = identity_precond()
             common = dict(
@@ -210,7 +226,7 @@ class MacroProblem:
             else:
                 raise ValueError(f"unknown ksp_type '{cfg.ksp_type}'")
             return res._replace(x=x_from_soa(res.x))
-        elif cfg.operator == "matfree":
+        elif operator == "matfree":
             raw = matfree_matvec(ctan, self.B, self.grid.wg, self.node_shape)
             mv = bc_mod.bc_operator(raw, self.bc)
             if cfg.pc_type in ("jacobi", "bjacobi"):

@@ -17,9 +17,19 @@ _DEFAULT_DIR = os.environ.get(
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
-    path = path or _DEFAULT_DIR
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
+    # Partition by backend: CPU executables cached by a process whose XLA
+    # flags differ (e.g. the axon terminal adds --xla_allow_excess_precision)
+    # can SEGFAULT at load time ("machine feature +prefer-no-scatter not
+    # supported" warnings are the telltale).  A per-backend subdir keeps TPU
+    # and CPU artifacts from mixing; JAX's own keying handles the rest.
+    base = path or _DEFAULT_DIR
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    full = os.path.join(base, backend)
+    os.makedirs(full, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", full)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

@@ -1,0 +1,104 @@
+"""Explicit shard_map halo exchange vs global-array semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from macroc_tpu.parallel.halo import (
+    halo_exchange,
+    halo_fold_add,
+    shmap_stencil_matvec,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def make_mesh():
+    import numpy as _np
+
+    return Mesh(_np.asarray(jax.devices()[:8]).reshape(2, 2, 2), ("x", "y", "z"))
+
+
+def test_halo_exchange_matches_pad():
+    """shard_map halo exchange must reproduce global zero-padding + slice."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(3, 8, 8, 8)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, "x", "y", "z"),
+        out_specs=P(None, "x", "y", "z"),
+    )
+    def grab_center(x):
+        xe = halo_exchange(x, dims=(1, 2, 3))
+        # center of the extended block is the original block
+        return xe[:, 1:-1, 1:-1, 1:-1]
+
+    out = grab_center(g)
+    assert np.allclose(np.asarray(out), np.asarray(g))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, "x", "y", "z"),
+        out_specs=P(None, "x", "y", "z"),
+    )
+    def shifted(x):
+        xe = halo_exchange(x, dims=(1, 2, 3))
+        # +1 shift in every dim through the halo
+        return xe[:, 2:, 2:, 2:][:, :4, :4, :4]
+
+    out = np.asarray(shifted(g))
+    gp = np.pad(np.asarray(g), ((0, 0), (0, 1), (0, 1), (0, 1)))
+    expect = gp[:, 1:, 1:, 1:]
+    assert np.allclose(out, expect)
+
+
+def test_fold_add_matches_overlap_sum():
+    """Reverse fold must equal the global overlap-add of extended blocks."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(rng.normal(size=(3, 8, 8, 8)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, "x", "y", "z"),
+        out_specs=P(None, "x", "y", "z"),
+    )
+    def roundtrip(x):
+        xe = halo_exchange(x, dims=(1, 2, 3))
+        return halo_fold_add(xe, dims=(1, 2, 3))
+
+    out = np.asarray(roundtrip(g))
+    # Sequential box-stencil exchange exports a node once per neighboring
+    # shard it lands in (faces, edges AND diagonal corners — the later axis
+    # rounds forward already-received halos); the fold returns every copy.
+    # So each node comes back multiplied by prod_dims(2 if the node sits on
+    # an internal shard boundary along that dim else 1).
+    gn = np.asarray(g)
+    mult = np.ones((8, 8, 8))
+    for dim in range(3):
+        sl = [slice(None)] * 3
+        sl[dim] = [3, 4]  # internal boundary planes of the 2-way split
+        mult[tuple(sl)] *= 2.0
+    assert np.allclose(out, gn * mult[None])
+
+
+def test_shmap_matvec_matches_global():
+    from macroc_tpu.ops.stencil_pallas import stencil_matvec_soa
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(2)
+    A = jnp.asarray(rng.normal(size=(27, 3, 3, 8, 8, 8)))
+    x = jnp.asarray(rng.normal(size=(3, 8, 8, 8)))
+    y_ref = np.asarray(stencil_matvec_soa(A, x))
+    y = np.asarray(shmap_stencil_matvec(mesh, A, x))
+    assert np.allclose(y, y_ref, atol=1e-10)

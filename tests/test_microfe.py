@@ -108,6 +108,36 @@ def test_two_phase_bounds():
     assert C2[1, 1] < c_hom < C1[1, 1]
 
 
+def test_fe2_end_to_end_macro_loop():
+    """Full FE² pipeline: the macro Newton/time loop driven by the micro-FE
+    engine must reproduce the closed-form-J2 macro run for the homogeneous
+    default micro (the identity MicroPP satisfies for identical materials)."""
+    import jax.numpy as jnp
+
+    from macroc_tpu.config import BC_BENDING, MacroConfig
+    from macroc_tpu.problem import MacroProblem
+
+    base = dict(
+        nx=3, ny=2, nz=2, lx=2.0, ly=1.0, lz=1.0,
+        bc_type=BC_BENDING, dtype="float64", ts=2, dt=0.002,
+        newton_max_its=3, micro_n=2, micro_type=MIC_HOMOGENEOUS,
+    )
+    runs = {}
+    for kind in ("j2", "microfe"):
+        cfg = MacroConfig(**base, constitutive=kind)
+        p = MacroProblem(cfg, n_devices=1)
+        u, state = p.init_fields()
+        for ts in range(cfg.ts):
+            U = cfg.displacement(ts)
+            u, state, diag = p.time_step_jit(u, state, jnp.asarray(U, p.dtype))
+        runs[kind] = (np.asarray(p.unpad_u(u)), diag)
+    u_j2, d_j2 = runs["j2"]
+    u_mf, d_mf = runs["microfe"]
+    assert bool(d_mf.converged)
+    assert np.allclose(u_mf, u_j2, rtol=1e-5, atol=1e-10)
+    assert np.isclose(float(d_mf.force), float(d_j2.force), rtol=1e-5)
+
+
 def test_batched_gps():
     eng = make_engine()
     rng = np.random.default_rng(0)
