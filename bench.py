@@ -53,6 +53,7 @@ def bench_spmv(n=128, dtype=jnp.float32):
     from macroc_tpu.fem.kernels import assemble_stencil
     from macroc_tpu.ops.stencil_pallas import (
         stencil_matvec_pallas,
+        stencil_matvec_pallas_v1,
         stencil_matvec_soa,
         to_soa,
     )
@@ -71,9 +72,28 @@ def bench_spmv(n=128, dtype=jnp.float32):
     results = {}
     variants = {"jnp_soa": stencil_matvec_soa}
     if on_tpu:
-        variants["pallas"] = lambda A, v: stencil_matvec_pallas(
+        variants["pallas_v1"] = lambda A, v: stencil_matvec_pallas_v1(
             A, v, tile=(4, 8, 128)
         )
+        for t in ((4, 16, 128), (4, 24, 128), (8, 16, 128)):
+            variants[f"pallas_v2_{t[0]}x{t[1]}x{t[2]}"] = (
+                lambda A, v, t=t: stencil_matvec_pallas(A, v, tile=t)
+            )
+        # correctness gate: every Pallas variant must match the jnp oracle
+        y_ref = stencil_matvec_soa(A_soa, x)
+        for name, mv in list(variants.items()):
+            if name == "jnp_soa":
+                continue
+            try:
+                err = float(
+                    jnp.max(jnp.abs(mv(A_soa, x) - y_ref))
+                    / jnp.max(jnp.abs(y_ref))
+                )
+            except Exception:
+                del variants[name]
+                continue
+            if not err < 1e-5:
+                raise AssertionError(f"{name} mismatch: rel err {err:.2e}")
     for name, mv in variants.items():
         dt = _timed_loop(mv, (A_soa, x))
         results[name] = dt

@@ -112,7 +112,7 @@ def _spmv_kernel(A_ref, xp_hbm, y_ref, xv, sem, *, TX, TY, TZ):
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def stencil_matvec_pallas(
+def stencil_matvec_pallas_v1(
     A_soa: jax.Array,
     x_soa: jax.Array,
     tile: Tuple[int, int, int] = (4, 8, 128),
@@ -174,6 +174,172 @@ def stencil_matvec_pallas(
             bytes_accessed=(243 + 6) * NX * NY * NZ * 4,
             transcendentals=0,
         ),
+    )(A_soa, xp)
+    if px or py or pz:
+        y = y[:, :nx, :ny, :nz]
+    return y
+
+
+# --------------------------------------------------------------------------- #
+# v2 kernel: offset-plane reduction dim + prefetched x windows.
+#
+# The v1 kernel's gap to the roofline is (a) the x halo window over-fetch —
+# the aligned ring costs ~(TX+2)(TY+16)(TZ+256)/(TX*TY*TZ) * 12 bytes/node,
+# ~16% of ideal traffic at tile (4,8,128) — and (b) the blocking in-kernel
+# x DMA.  v2 fixes both:
+#
+#   - a 4th (innermost) grid dimension g in {0,1,2} splits the 27 offsets
+#     into the three x-planes di = g-1 (the offset table is ordered
+#     o = (di+1)*9 + (dj+1)*3 + (dk+1), so offsets [9g, 9g+9) share di and
+#     their (dj,dk) shifts are the same static 3x3 set for every g; the
+#     only g-dependent index is the x-window slice start, which lands on an
+#     UNTILED dim where dynamic starts are free address arithmetic);
+#   - the A block per grid step is 9/27 of v1's, so the spatial tile can be
+#     3x larger at the same (double-buffered) VMEM — the halo ring
+#     amortizes over 3x more nodes (~8% over-fetch at (4,24,128));
+#   - the x window is fetched once per spatial tile into a 2-slot scratch,
+#     and the NEXT tile's window is prefetched right after — the DMA
+#     overlaps the current tile's 3 compute steps instead of stalling them;
+#   - the output block index is independent of g, so Pallas keeps the y
+#     tile resident in VMEM across the three visits and writes it back once.
+# --------------------------------------------------------------------------- #
+
+
+def _x_window_dma(xp_hbm, xv, sems, slot, i, j, k, TX, TY, TZ):
+    return pltpu.make_async_copy(
+        xp_hbm.at[
+            :,
+            pl.ds(i * TX, TX + 2 * _HX),
+            pl.ds(j * TY, TY + 2 * _HY),
+            pl.ds(k * TZ, TZ + 2 * _HZ),
+        ],
+        xv.at[slot],
+        sems.at[slot],
+    )
+
+
+def _spmv_kernel_v2(A_ref, xp_hbm, y_ref, xv, sems, *, TX, TY, TZ):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = pl.program_id(3)
+    gy = pl.num_programs(1)
+    gz = pl.num_programs(2)
+    t = (i * gy + j) * gz + k  # linear spatial-tile id
+    one = jnp.int32(1)
+    slot = jax.lax.rem(t, jnp.int32(2))
+
+    @pl.when(g == 0)
+    def _():
+        @pl.when(t == 0)
+        def _():  # first tile has no prefetcher — fetch synchronously
+            _x_window_dma(xp_hbm, xv, sems, slot, i, j, k, TX, TY, TZ).start()
+
+        _x_window_dma(xp_hbm, xv, sems, slot, i, j, k, TX, TY, TZ).wait()
+
+        nt = pl.num_programs(0) * gy * gz
+
+        @pl.when(t + one < nt)
+        def _():  # prefetch the next tile's window into the other slot
+            t1 = t + one
+            k1 = jax.lax.rem(t1, jnp.int32(gz))
+            j1 = jax.lax.rem(t1 // jnp.int32(gz), jnp.int32(gy))
+            i1 = t1 // jnp.int32(gy * gz)
+            _x_window_dma(
+                xp_hbm, xv, sems, one - slot, i1, j1, k1, TX, TY, TZ
+            ).start()
+
+    # offsets [9g, 9g+9) all have di = g-1: true node i*TX+p reads padded-x
+    # index (i*TX+p) + _HX + di = window-local p + g  ->  x-slice start = g,
+    # a dynamic start on an untiled dim (free); (dj,dk) are static.
+    acc = [jnp.zeros((TX, TY, TZ), y_ref.dtype) for _ in range(3)]
+    for m in range(9):
+        dj, dk = m // 3 - 1, m % 3 - 1
+        oj = dj + _HY
+        ok = dk + _HZ
+        for e in range(3):
+            xw = xv[slot, e, pl.ds(g, TX), oj:oj + TY, ok:ok + TZ]
+            for d in range(3):
+                acc[d] = acc[d] + A_ref[m, d, e] * xw
+    contrib = jnp.stack(acc, axis=0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = contrib
+
+    @pl.when(g > 0)
+    def _():
+        y_ref[:] = y_ref[:] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def stencil_matvec_pallas(
+    A_soa: jax.Array,
+    x_soa: jax.Array,
+    tile: Tuple[int, int, int] = (4, 24, 128),
+    interpret: bool = False,
+) -> jax.Array:
+    """y_soa = A @ x on TPU via the v2 Pallas stencil kernel.
+
+    A_soa: (27,3,3,nx,ny,nz); x_soa: (3,nx,ny,nz).  Grid dims are padded to
+    tile multiples internally (zero blocks are harmless).  ``interpret``
+    runs the kernel in the Pallas interpreter (CPU testing).
+    """
+    _, _, _, nx, ny, nz = A_soa.shape
+    TX, TY, TZ = tile
+    if TY % 8 or TZ % 128:
+        raise ValueError("tile (TY, TZ) must be multiples of (8, 128)")
+    px = (-nx) % TX
+    py = (-ny) % TY
+    pz = (-nz) % TZ
+    if px or py or pz:
+        A_soa = jnp.pad(
+            A_soa, ((0, 0), (0, 0), (0, 0), (0, px), (0, py), (0, pz))
+        )
+    xp = jnp.pad(
+        x_soa,
+        ((0, 0), (_HX, _HX + px), (_HY, _HY + py), (_HZ, _HZ + pz)),
+    )
+    NX, NY, NZ = nx + px, ny + py, nz + pz
+    grid = (NX // TX, NY // TY, NZ // TZ, 3)
+
+    kernel = functools.partial(_spmv_kernel_v2, TX=TX, TY=TY, TZ=TZ)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (9, 3, 3, TX, TY, TZ),
+                lambda i, j, k, g: (g, 0, 0, i, j, k),
+                memory_space=pltpu.VMEM,
+            ),
+            # x stays in HBM; the kernel DMAs aligned halo windows itself
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, TX, TY, TZ),
+            lambda i, j, k, g: (0, i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, NX, NY, NZ), x_soa.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, 3, TX + 2 * _HX, TY + 2 * _HY, TZ + 2 * _HZ),
+                x_soa.dtype,
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "arbitrary", "arbitrary", "arbitrary", "arbitrary",
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 243 * NX * NY * NZ,
+            bytes_accessed=(243 + 6) * NX * NY * NZ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
     )(A_soa, xp)
     if px or py or pz:
         y = y[:, :nx, :ny, :nz]
