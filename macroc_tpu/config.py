@@ -85,7 +85,7 @@ class MacroConfig:
 
     # Linear solver — src/init.c:146-157
     ksp_type: str = "cg"  # {"cg", "gmres"}
-    pc_type: str = "jacobi"  # {"none", "jacobi", "bjacobi"}
+    pc_type: str = "jacobi"  # {"none", "jacobi", "bjacobi", "mg"}
     ksp_rtol: float = 1.0e-5
     ksp_abstol: float = 1.0e-50
     ksp_dtol: float = 1.0e4
