@@ -66,7 +66,11 @@ def bench_spmv(n=128, dtype=jnp.float32):
         ctan
     )
     jax.block_until_ready(A_soa)
-    x = jnp.ones((3,) + shape, dtype=dtype)
+    # NOT jnp.ones: a constant vector is a rigid-body translation, i.e. in
+    # the operator's near-null space — the exact result is ~0 and any change
+    # of f32 accumulation order between variants reads as O(1) "relative"
+    # error.  A random vector makes |y| ~ |A||x| so the gate is meaningful.
+    x = jax.random.normal(jax.random.PRNGKey(7), (3,) + shape, dtype=dtype)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     results = {}

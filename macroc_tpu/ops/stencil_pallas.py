@@ -195,8 +195,10 @@ def stencil_matvec_pallas_v1(
 #     only g-dependent index is the x-window slice start, which lands on an
 #     UNTILED dim where dynamic starts are free address arithmetic);
 #   - the A block per grid step is 9/27 of v1's, so the spatial tile can be
-#     3x larger at the same (double-buffered) VMEM — the halo ring
-#     amortizes over 3x more nodes (~8% over-fetch at (4,24,128));
+#     larger at the same (double-buffered) VMEM, amortizing the halo ring
+#     over more nodes (measured on v5e @128^3: (4,16,128) is the sweet spot,
+#     188.7 Gnnz/s = 94.4% of the HBM roofline; (4,24,128) regresses 4x —
+#     its A+scratch footprint spills the double-buffered VMEM budget);
 #   - the x window is fetched once per spatial tile into a 2-slot scratch,
 #     and the NEXT tile's window is prefetched right after — the DMA
 #     overlaps the current tile's 3 compute steps instead of stalling them;
@@ -276,7 +278,7 @@ def _spmv_kernel_v2(A_ref, xp_hbm, y_ref, xv, sems, *, TX, TY, TZ):
 def stencil_matvec_pallas(
     A_soa: jax.Array,
     x_soa: jax.Array,
-    tile: Tuple[int, int, int] = (4, 24, 128),
+    tile: Tuple[int, int, int] = (4, 16, 128),
     interpret: bool = False,
 ) -> jax.Array:
     """y_soa = A @ x on TPU via the v2 Pallas stencil kernel.
