@@ -20,8 +20,12 @@ from macroc_tpu.driver import Simulation
 
 
 def main(argv=None):
+    from macroc_tpu.parallel.distributed import maybe_initialize
     from macroc_tpu.utils.cache import setup_runtime
 
+    # PetscInitialize equivalent (src/main.c:33): bring up the multi-host
+    # runtime BEFORE any backend use.  No-op on single-host.
+    maybe_initialize()
     setup_runtime()
     argv = sys.argv[1:] if argv is None else argv
     cfg = parse_cli(argv)
