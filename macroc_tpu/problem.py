@@ -207,7 +207,19 @@ class MacroProblem:
                 levels = build_hierarchy(
                     ctan, bc_mask_soa, self.grid.spacing, cfg.ref_b_quirk
                 )
-                M = make_mg_preconditioner(levels)
+
+                def mv_for(level):
+                    # Pallas wins only where its nz-to-128 padding is free
+                    # (see CLAUDE.md / bench): use it on the large fine
+                    # levels, fused jnp on the small coarse ones.
+                    if (
+                        operator == "stencil_pallas"
+                        and level.A_soa.shape[-1] >= 128
+                    ):
+                        return stencil_matvec_pallas
+                    return stencil_matvec_soa
+
+                M = make_mg_preconditioner(levels, mv_for=mv_for)
             else:
                 M = identity_precond()
             common = dict(

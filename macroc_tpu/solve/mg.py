@@ -182,14 +182,14 @@ def build_hierarchy(
 
 
 def _smooth(level: MGLevel, x: jax.Array, b: jax.Array, nu: int,
-            omega: float) -> jax.Array:
+            omega: float, mv) -> jax.Array:
     """nu damped block-Jacobi sweeps: x += w D^-1 (b - A x).
 
     Unrolled Python loop (nu is small and static): under jit XLA unrolls a
     fori_loop of this size anyway, and avoiding an eager `scan` sidesteps a
     CPU-thunk deserialization segfault in this jaxlib's persistent cache."""
     for _ in range(nu):
-        r = b - stencil_matvec_soa(level.A_soa, x)
+        r = b - mv(level.A_soa, x)
         dz = jnp.einsum("xyzde,exyz->dxyz", level.inv_diag, r)
         x = x + omega * dz
     return x
@@ -197,20 +197,31 @@ def _smooth(level: MGLevel, x: jax.Array, b: jax.Array, nu: int,
 
 def make_mg_preconditioner(
     levels: List[MGLevel], nu: int = 2, omega: float = 0.6,
-    coarse_sweeps: int = 20,
+    coarse_sweeps: int = 20, mv_for=None,
 ):
     # omega: 0.6 measured best for block-Jacobi on hex elasticity; 0.8
     # makes the V-cycle near-indefinite and PCG crawls (51 its vs 11 at
     # 9^3) — keep damping <= ~2/3.
-    """Fixed symmetric V(nu,nu)-cycle closure z = M^{-1} r for PCG."""
+    """Fixed symmetric V(nu,nu)-cycle closure z = M^{-1} r for PCG.
+
+    mv_for(level) -> matvec(A_soa, x) lets the caller pick a per-level SpMV
+    kernel (Pallas on large fine levels, fused jnp on small coarse ones —
+    the V-cycle spends ~85% of its matvec bytes on level 0, so the fine
+    level must use the roofline kernel).  Default: jnp everywhere.
+    """
     n_levels = len(levels)
+    mvs = [
+        stencil_matvec_soa if mv_for is None else mv_for(lv) for lv in levels
+    ]
 
     def vcycle(l: int, r: jax.Array) -> jax.Array:
         level = levels[l]
         if l == n_levels - 1:
-            return _smooth(level, jnp.zeros_like(r), r, coarse_sweeps, omega)
-        x = _smooth(level, jnp.zeros_like(r), r, nu, omega)
-        res = r - stencil_matvec_soa(level.A_soa, x)
+            return _smooth(
+                level, jnp.zeros_like(r), r, coarse_sweeps, omega, mvs[l]
+            )
+        x = _smooth(level, jnp.zeros_like(r), r, nu, omega, mvs[l])
+        res = r - mvs[l](level.A_soa, x)
         rc = restrict(res)
         # coarse Dirichlet rows carry no error
         rc = jnp.where(levels[l + 1].bc_mask, 0.0, rc)
@@ -218,6 +229,6 @@ def make_mg_preconditioner(
         corr = prolong(ec, r.shape[1:])
         corr = jnp.where(level.bc_mask, 0.0, corr)
         x = x + corr
-        return _smooth(level, x, r, nu, omega)
+        return _smooth(level, x, r, nu, omega, mvs[l])
 
     return lambda r: vcycle(0, r)
