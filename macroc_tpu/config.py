@@ -85,7 +85,11 @@ class MacroConfig:
 
     # Linear solver — src/init.c:146-157
     ksp_type: str = "cg"  # {"cg", "gmres"}
-    pc_type: str = "jacobi"  # {"none", "jacobi", "bjacobi", "mg"}
+    # Preconditioner.  "auto" resolves per grid: geometric-multigrid V-cycle
+    # when every extent supports a deep hierarchy (min extent >= 17, where MG
+    # measures a flat ~6-7 CG its vs Jacobi's O(n) growth), plain Jacobi
+    # otherwise (the reference's fixed choice, src/init.c:155).
+    pc_type: str = "auto"  # {"auto", "none", "jacobi", "bjacobi", "mg"}
     ksp_rtol: float = 1.0e-5
     ksp_abstol: float = 1.0e-50
     ksp_dtol: float = 1.0e4
@@ -102,10 +106,12 @@ class MacroConfig:
     micro_mat_1: MaterialParams = dataclasses.field(default_factory=MaterialParams)
     micro_mat_2: MaterialParams = dataclasses.field(default_factory=MaterialParams)
     micro_params: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 0.5)
-    # Constitutive engine: "j2" (closed-form J2 plasticity; exact for the
-    # default homogeneous micro), "elastic", or "microfe" (batched micro-FE
-    # homogenization — the full FE² path).
-    constitutive: str = "j2"
+    # Constitutive engine: "auto" routes by physics — "microfe" (batched
+    # micro-FE homogenization, the full FE² path) whenever mat_1 != mat_2
+    # and the micro geometry is heterogeneous, else "j2" (closed-form J2
+    # plasticity, exact for an effectively homogeneous RVE).  "elastic",
+    # "j2", "microfe" force a specific engine.
+    constitutive: str = "auto"
 
     # Output — macroc.h:42
     vtu_freq: int = -1

@@ -39,6 +39,10 @@ class HomogenizeResult(NamedTuple):
     non_linear: jax.Array   # (...,) bool
     f_trial: jax.Array      # (...,)
     cost: jax.Array         # (...,)
+    # (...,) bool: the engine's inner solve hit its iteration cap before
+    # reaching tolerance (micro-FE RVEs).  None for closed-form engines,
+    # whose response is exact by construction.
+    unconverged: Any = None
 
 
 class ConstitutiveEngine(Protocol):

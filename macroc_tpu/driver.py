@@ -140,6 +140,12 @@ class Simulation:
             force = float(diag.force)
             f_trial_max = float(diag.f_trial_max)
             L(f"F_trial_max             : {f_trial_max:e}\n")
+            n_unconv = int(diag.micro_unconverged)
+            if n_unconv:
+                L(
+                    f"WARNING: {n_unconv} micro RVE solves hit the Newton "
+                    "cap above tolerance\n"
+                )
 
             gauss.write_row(time_s, per_rank)
             info.write_row(

@@ -274,18 +274,24 @@ def _spmv_kernel_v2(A_ref, xp_hbm, y_ref, xv, sems, *, TX, TY, TZ):
         y_ref[:] = y_ref[:] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "halo"))
 def stencil_matvec_pallas(
     A_soa: jax.Array,
     x_soa: jax.Array,
     tile: Tuple[int, int, int] = (4, 16, 128),
     interpret: bool = False,
+    halo: bool = False,
 ) -> jax.Array:
     """y_soa = A @ x on TPU via the v2 Pallas stencil kernel.
 
     A_soa: (27,3,3,nx,ny,nz); x_soa: (3,nx,ny,nz).  Grid dims are padded to
     tile multiples internally (zero blocks are harmless).  ``interpret``
     runs the kernel in the Pallas interpreter (CPU testing).
+
+    ``halo=True``: x_soa is (3,nx+2,ny+2,nz+2) — already carrying a 1-node
+    halo per face (neighbor data from a shard_map ppermute exchange, zeros
+    at the global boundary).  This is the per-device form used inside
+    parallel/halo.py::shmap_stencil_matvec.
     """
     _, _, _, nx, ny, nz = A_soa.shape
     TX, TY, TZ = tile
@@ -298,9 +304,18 @@ def stencil_matvec_pallas(
         A_soa = jnp.pad(
             A_soa, ((0, 0), (0, 0), (0, 0), (0, px), (0, py), (0, pz))
         )
+    # Padded-x layout: true node i lives at index i+_H per dim.  With
+    # halo=True the input already holds true node -1 at index 0, so the
+    # alignment pad shrinks by one on each side.
+    h = 1 if halo else 0
     xp = jnp.pad(
         x_soa,
-        ((0, 0), (_HX, _HX + px), (_HY, _HY + py), (_HZ, _HZ + pz)),
+        (
+            (0, 0),
+            (_HX - h, _HX - h + px),
+            (_HY - h, _HY - h + py),
+            (_HZ - h, _HZ - h + pz),
+        ),
     )
     NX, NY, NZ = nx + px, ny + py, nz + pz
     grid = (NX // TX, NY // TY, NZ // TZ, 3)

@@ -103,13 +103,26 @@ def halo_fold_add(
     return xe
 
 
-def shmap_stencil_matvec(mesh: Mesh, A_soa: jax.Array, x_soa: jax.Array):
+def shmap_stencil_matvec(
+    mesh: Mesh,
+    A_soa: jax.Array,
+    x_soa: jax.Array,
+    kernel: str = "jnp",
+    tile: Tuple[int, int, int] = (4, 16, 128),
+    interpret: bool = False,
+):
     """Explicit-collective SpMV: y = A x with per-axis ppermute halos.
 
     A_soa (27,3,3,nx,ny,nz) and x_soa (3,nx,ny,nz) are global arrays
     (sharded or not); the shard_map distributes them P('x','y','z') on the
     spatial dims and each device applies its local stencil block to the
     halo-extended local x.
+
+    kernel="pallas" runs the per-device block through the roofline Pallas
+    kernel (ops/stencil_pallas.py, halo=True form) — the multi-chip
+    composition of the single-chip speed-of-light SpMV; ``interpret`` runs
+    that kernel in the Pallas interpreter (CPU testing).  kernel="jnp" uses
+    the fused-einsum path (portable).
     """
 
     @partial(
@@ -117,10 +130,19 @@ def shmap_stencil_matvec(mesh: Mesh, A_soa: jax.Array, x_soa: jax.Array):
         mesh=mesh,
         in_specs=(P(None, None, None, "x", "y", "z"), P(None, "x", "y", "z")),
         out_specs=P(None, "x", "y", "z"),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation,
+        # so the vma checker cannot type it — the specs above are the truth
+        check_vma=False,
     )
     def mv(Al, xl):
         lnx, lny, lnz = xl.shape[1:]
         xe = halo_exchange(xl, dims=(1, 2, 3))
+        if kernel == "pallas":
+            from macroc_tpu.ops.stencil_pallas import stencil_matvec_pallas
+
+            return stencil_matvec_pallas(
+                Al, xe, tile=tile, interpret=interpret, halo=True
+            )
         y = jnp.zeros_like(xl)
         for o, (di, dj, dk) in enumerate(STENCIL_OFFSETS):
             xw = xe[

@@ -63,6 +63,8 @@ class StepDiagnostics:
     non_linear: jax.Array   # (nex,ney,nez,8) bool per-GP flags
     cost: jax.Array         # (nex,ney,nez,8) per-GP constitutive cost
     stress: jax.Array       # (nex,ney,nez,8,6) committed per-GP stress
+    micro_unconverged: jax.Array  # () total RVE solves that hit the micro
+    # Newton cap above tolerance this step (0 for closed-form engines)
 
 
 class MacroProblem:
@@ -111,6 +113,15 @@ class MacroProblem:
         elem_mask = _np.zeros(self.elem_shape, dtype=bool)
         elem_mask[:nex, :ney, :nez] = True
         self.elem_mask = jnp.asarray(elem_mask)
+
+        # device mesh for the explicit-collective (shard_map) paths; None on
+        # a single device (everything runs the plain single-block kernels)
+        if g.nproc > 1:
+            from macroc_tpu.parallel.mesh import make_grid_mesh
+
+            self.mesh = make_grid_mesh(g)
+        else:
+            self.mesh = None
 
         bc0 = bc_mod.build_bc(g, cfg, dtype=self.dtype)
         mask = _np.ones(self.node_shape + (3,), dtype=bool)  # pads constrained
@@ -169,10 +180,22 @@ class MacroProblem:
         transposes per Newton iteration are noise next to the CG loop."""
         cfg = self.cfg
         operator = cfg.operator
+        nproc = self.grid.nproc
+        local_nz = self.node_shape[2] // self.grid.procs[2]
+        pc_type = cfg.pc_type
+        if pc_type == "auto":
+            # MG V-cycle needs a deep hierarchy to pay off; below ~17 per
+            # extent the Jacobi-CG iteration count is small anyway.
+            pc_type = "mg" if min(self.node_shape) >= 17 else "jacobi"
         if operator == "auto":
             on_tpu = jax.default_backend() == "tpu"
-            big = self.node_shape[2] >= 128
-            operator = "stencil_pallas" if (on_tpu and big) else "stencil"
+            # The Pallas kernel pads the LOCAL z extent up to a multiple of
+            # 128 (lane tiling) and re-pads A per call when unaligned: the
+            # measured 2.3x win at nz=128 is eaten by ~2x extra HBM traffic
+            # when e.g. nz=129 pads to 256.  Only pick it where the padding
+            # is free.
+            pallas_ok = on_tpu and local_nz >= 128 and local_nz % 128 == 0
+            operator = "stencil_pallas" if pallas_ok else "stencil"
         if operator in ("stencil", "stencil_pallas"):
             from macroc_tpu.ops.stencil_pallas import (
                 stencil_matvec_pallas,
@@ -190,14 +213,32 @@ class MacroProblem:
             A27 = bc_mod.apply_bc_stencil(A27, self.bc)
             A_soa = to_soa(A27)
             if operator == "stencil_pallas":
-                mv = partial(stencil_matvec_pallas, A_soa)
+                interp = jax.default_backend() == "cpu"
+                if nproc > 1:
+                    # Multi-device: pallas_call has no SPMD partitioning
+                    # rule, so run the kernel per-device inside shard_map
+                    # after an explicit ppermute halo exchange
+                    # (parallel/halo.py) — the distributed-KSPSolve
+                    # equivalent of reference assembly.c:179-192.
+                    from macroc_tpu.parallel.halo import shmap_stencil_matvec
+
+                    mv = partial(
+                        shmap_stencil_matvec,
+                        self.mesh,
+                        A_soa,
+                        kernel="pallas",
+                        interpret=interp,
+                    )
+                else:
+                    mv = partial(stencil_matvec_pallas, A_soa,
+                                 interpret=interp)
             else:
                 mv = partial(stencil_matvec_soa, A_soa)
-            if cfg.pc_type == "jacobi":
+            if pc_type == "jacobi":
                 M = jacobi_precond_soa(A_soa)
-            elif cfg.pc_type == "bjacobi":
+            elif pc_type == "bjacobi":
                 M = block_jacobi_precond_soa(A_soa)
-            elif cfg.pc_type == "mg":
+            elif pc_type == "mg":
                 from macroc_tpu.solve.mg import (
                     build_hierarchy,
                     make_mg_preconditioner,
@@ -205,18 +246,25 @@ class MacroProblem:
 
                 bc_mask_soa = jnp.moveaxis(self.bc.mask, -1, 0)
                 levels = build_hierarchy(
-                    ctan, bc_mask_soa, self.grid.spacing, cfg.ref_b_quirk
+                    ctan, bc_mask_soa, self.grid.spacing, cfg.ref_b_quirk,
+                    A0_soa=A_soa,
                 )
 
                 def mv_for(level):
                     # Pallas wins only where its nz-to-128 padding is free
-                    # (see CLAUDE.md / bench): use it on the large fine
-                    # levels, fused jnp on the small coarse ones.
+                    # (see CLAUDE.md / bench) AND single-device (the raw
+                    # kernel has no SPMD rule): fine 128-multiple levels
+                    # use it, everything else the fused jnp path.
+                    lnz = level.A_soa.shape[-1]
                     if (
                         operator == "stencil_pallas"
-                        and level.A_soa.shape[-1] >= 128
+                        and nproc == 1
+                        and lnz >= 128
+                        and lnz % 128 == 0
                     ):
-                        return stencil_matvec_pallas
+                        interp = jax.default_backend() == "cpu"
+                        return partial(stencil_matvec_pallas,
+                                       interpret=interp)
                     return stencil_matvec_soa
 
                 M = make_mg_preconditioner(levels, mv_for=mv_for)
@@ -241,7 +289,7 @@ class MacroProblem:
         elif operator == "matfree":
             raw = matfree_matvec(ctan, self.B, self.grid.wg, self.node_shape)
             mv = bc_mod.bc_operator(raw, self.bc)
-            if cfg.pc_type in ("jacobi", "bjacobi"):
+            if pc_type in ("jacobi", "bjacobi"):
                 diag = assemble_diagonal(ctan, self.B, self.grid.wg, self.node_shape)
                 diag = jnp.where(self.bc.mask, jnp.ones((), self.dtype), diag)
                 M = lambda r: r / diag
@@ -286,6 +334,7 @@ class MacroProblem:
             cost=jnp.zeros(gp_shape, dtype),
             it=jnp.int32(0),          # solves performed
             nhom=jnp.int32(0),        # homogenize calls performed
+            unconv=jnp.int32(0),      # unconverged micro RVE solves
             norm0=jnp.asarray(0.0, dtype),
             done=jnp.asarray(False),
             res_norms=jnp.full((max_its + 1,), jnp.nan, dtype),
@@ -300,6 +349,11 @@ class MacroProblem:
 
         def body(c):
             b, norm, hom = self.residual(c["u"], state)
+            unconv = c["unconv"]
+            if hom.unconverged is not None:
+                unconv = unconv + jnp.sum(
+                    jnp.logical_and(hom.unconverged, emask)
+                ).astype(jnp.int32)
             norm0 = jnp.where(c["nhom"] == 0, norm, c["norm0"])
             res_norms = c["res_norms"].at[c["nhom"]].set(norm)
             nhom = c["nhom"] + 1
@@ -333,6 +387,7 @@ class MacroProblem:
                 cost=hom.cost * emask,
                 it=it,
                 nhom=nhom,
+                unconv=unconv,
                 norm0=norm0,
                 done=conv,
                 res_norms=res_norms,
@@ -358,6 +413,7 @@ class MacroProblem:
             non_linear=c["non_linear"][:nex, :ney, :nez],
             cost=c["cost"][:nex, :ney, :nez],
             stress=stress,
+            micro_unconverged=c["unconv"],
         )
         return c["u"], new_state, diag
 

@@ -43,25 +43,40 @@ from macroc_tpu.solve.precond import _inv3x3
 
 
 def coarse_size(n: int) -> int:
-    """Vertex-centered coarse extent: coarse node i <-> fine node 2i."""
-    return (n - 1) // 2 + 1
+    """Flexible vertex coarsening: coarse node i <-> fine node min(2i, n-1).
+
+    ODD fine extents give the classic 2:1 nesting.  EVEN extents keep the
+    LAST fine node as an extra coarse node (one short interval at the high
+    end): dropping it loses the entire high Dirichlet face from every
+    coarse level, which was measured to degrade PCG from a flat 6 its to
+    36+ (grids like 128 are even)."""
+    return n // 2 + 1
+
+
+def coarse_positions(n_f: int) -> np.ndarray:
+    """Fine index of each coarse node."""
+    return np.minimum(2 * np.arange(coarse_size(n_f)), n_f - 1)
 
 
 def _interp_tables(n_f: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(left parent, right parent, left weight) per fine index, with odd
-    tails clamped to the nearest existing parent."""
+    """(left parent, right parent, left weight) per fine index — linear
+    interpolation between the bracketing coarse nodes of coarse_positions."""
     n_c = coarse_size(n_f)
+    fpos = coarse_positions(n_f)
     li = np.empty(n_f, np.int64)
     ri = np.empty(n_f, np.int64)
     wl = np.empty(n_f, np.float64)
     for i in range(n_f):
-        if i % 2 == 0:
+        if i == n_f - 1:
+            li[i] = ri[i] = n_c - 1
+            wl[i] = 1.0
+        elif i % 2 == 0:
             li[i] = ri[i] = i // 2
             wl[i] = 1.0
         else:
             l, r = i // 2, min(i // 2 + 1, n_c - 1)
             li[i], ri[i] = l, r
-            wl[i] = 1.0 if l == r else 0.5
+            wl[i] = 1.0 if l == r else (fpos[r] - i) / (fpos[r] - fpos[l])
     return li, ri, wl
 
 
@@ -113,23 +128,38 @@ def restrict(r_f: jax.Array) -> jax.Array:
     return r_f
 
 
+def _coarsen_elem_dim(x: jax.Array, dim: int, n_f_nodes: int) -> jax.Array:
+    """Average element pairs along one dim (coarse element j's children are
+    the fine elements between coarse nodes j and j+1 — two for regular
+    intervals, one for an even extent's short tail interval).
+
+    Implemented with static-index takes, never a pad/reshape of the fine
+    tensor: a reshape that repacks the (...,8,6,6) minor dims forces an XLA
+    layout copy whose (8,128) tiling pads 6->8 x 6->128, a ~16x memory
+    blowup (37 GB at 128^3, OOMs a v5e)."""
+    f_el = x.shape[dim]
+    nc_el = coarse_size(n_f_nodes) - 1
+    ia = np.minimum(2 * np.arange(nc_el), f_el - 1)
+    ib = np.minimum(ia + 1, f_el - 1)
+    xa = jnp.take(x, jnp.asarray(ia), axis=dim)
+    xb = jnp.take(x, jnp.asarray(ib), axis=dim)
+    return 0.5 * (xa + xb)
+
+
 def coarsen_ctan(ctan: jax.Array) -> jax.Array:
     """Volume-average fine element tangents (nex,ney,nez,8,6,6) into coarse
-    elements ((n_c-1) per dim, each the mean of its <=8 children; odd tails
-    use the available children)."""
-    ne = ctan.shape[:3]
-    nc = tuple(coarse_size(n + 1) - 1 for n in ne)
-    # pad fine elements so every coarse element has 2 children per dim
-    pads = [(0, 2 * c - f) for f, c in zip(ne, nc)]
-    cp = jnp.pad(ctan, pads + [(0, 0)] * 3, mode="edge")
-    cp = cp.reshape(
-        (nc[0], 2, nc[1], 2, nc[2], 2) + ctan.shape[3:]
-    )
-    return cp.mean(axis=(1, 3, 5))
+    elements (children per coarse_positions intervals)."""
+    for dim in range(3):
+        ctan = _coarsen_elem_dim(ctan, dim, ctan.shape[dim] + 1)
+    return ctan
 
 
-def _sample_even(mask: jax.Array) -> jax.Array:
-    return mask[:, ::2, ::2, ::2]
+def _sample_coarse(mask: jax.Array) -> jax.Array:
+    """Sample a (3,nx,ny,nz) node mask at the coarse node positions."""
+    for dim in (1, 2, 3):
+        idx = coarse_positions(mask.shape[dim])
+        mask = jnp.take(mask, jnp.asarray(idx), axis=dim)
+    return mask
 
 
 def build_hierarchy(
@@ -139,13 +169,15 @@ def build_hierarchy(
     ref_quirk: bool,
     max_levels: int = 10,
     min_extent: int = 3,
+    A0_soa: jax.Array | None = None,
 ) -> List[MGLevel]:
     """Level list from fine per-GP tangents (cropped element shape).
 
     Level 0's operator is assembled here too (identical to the CG operator
     construction in problem.linear_solve) so the hierarchy is
-    self-contained.
-    """
+    self-contained; pass the already-assembled fine operator as ``A0_soa``
+    to reuse it (saves a duplicate ~2 GB assembly at 128^3 — XLA CSE
+    usually dedupes it, but don't rely on that)."""
     from macroc_tpu import bc as bc_mod
 
     levels: List[MGLevel] = []
@@ -153,20 +185,38 @@ def build_hierarchy(
     cur_ctan = ctan
     cur_mask = bc_mask_soa
     cur_spacing = tuple(spacing)
+    wg0 = spacing[0] * spacing[1] * spacing[2] / 8.0
+    lev = 0
     while True:
         ne = cur_ctan.shape[:3]
         shape = tuple(n + 1 for n in ne)
-        wg = cur_spacing[0] * cur_spacing[1] * cur_spacing[2] / 8.0
-        B = jnp.asarray(b_for(cur_spacing, ref_quirk), dtype=dtype)
-        A27 = assemble_stencil(cur_ctan, B, wg, shape)
-        mask_aos = jnp.moveaxis(cur_mask, 0, -1)  # (nx,ny,nz,3)
-        A27 = bc_mod.apply_bc_stencil(
-            A27,
-            bc_mod.BCData(
-                mask=mask_aos, val_unit=jnp.zeros(shape + (3,), dtype)
-            ),
-        )
-        A_soa = to_soa(A27)
+        if ref_quirk:
+            # Quirk family: B is spacing-independent (unit element), so the
+            # level operator scales purely with wg.  Rediscretizing with
+            # wg_l = 8^l wg0 makes coarse operators 4x too stiff per level
+            # relative to the Galerkin RAP (whose scale grows ~2^l, like the
+            # true-FEM family where A_l ~ wg_l/h_l^2 ~ h_l): the coarse
+            # correction is then ~4x too small per level and PCG degrades
+            # with depth (measured: 21 its @17^3 / 35 @33^3 vs a flat 6 with
+            # consistent scaling).  Use wg_l = 2^l wg0 — for isotropic
+            # spacing this equals the true-FEM hierarchy times the constant
+            # h0^2, and PCG is invariant to constant scaling of M.
+            wg = wg0 * (2.0 ** lev)
+        else:
+            wg = cur_spacing[0] * cur_spacing[1] * cur_spacing[2] / 8.0
+        if lev == 0 and A0_soa is not None:
+            A_soa = A0_soa
+        else:
+            B = jnp.asarray(b_for(cur_spacing, ref_quirk), dtype=dtype)
+            A27 = assemble_stencil(cur_ctan, B, wg, shape)
+            mask_aos = jnp.moveaxis(cur_mask, 0, -1)  # (nx,ny,nz,3)
+            A27 = bc_mod.apply_bc_stencil(
+                A27,
+                bc_mod.BCData(
+                    mask=mask_aos, val_unit=jnp.zeros(shape + (3,), dtype)
+                ),
+            )
+            A_soa = to_soa(A27)
         inv_diag = _inv3x3(jnp.moveaxis(A_soa[DIAG_OFFSET], (0, 1), (-2, -1)))
         levels.append(MGLevel(A_soa=A_soa, inv_diag=inv_diag, bc_mask=cur_mask))
 
@@ -176,8 +226,9 @@ def build_hierarchy(
         if min(nxt) < 2 or nxt == shape:
             break
         cur_ctan = coarsen_ctan(cur_ctan)
-        cur_mask = _sample_even(cur_mask)
+        cur_mask = _sample_coarse(cur_mask)
         cur_spacing = tuple(2 * h for h in cur_spacing)
+        lev += 1
     return levels
 
 

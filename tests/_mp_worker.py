@@ -1,0 +1,72 @@
+"""Worker process for the 2-process jax.distributed test.
+
+Launched (twice) by tests/test_multiprocess.py.  Each process owns ONE CPU
+device; jax.distributed + gloo CPU collectives form the 2-device global
+mesh — the TPU-native equivalent of the reference's `mpirun -np 2` CTest
+runs (/root/reference/tests/CMakeLists.txt:20-27).
+
+argv: <coordinator port> <process id> <config json>
+Prints one line ``RESULT <json>`` with per-step diagnostics.
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+port, pid = sys.argv[1], int(sys.argv[2])
+overrides = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
+
+from macroc_tpu.parallel import distributed  # noqa: E402
+
+assert distributed.maybe_initialize(
+    coordinator=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.device_count() == 2 and jax.local_device_count() == 1
+
+jax.config.update("jax_enable_x64", True)
+from macroc_tpu.utils.cache import setup_runtime  # noqa: E402
+
+setup_runtime()
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from macroc_tpu.config import MacroConfig  # noqa: E402
+from macroc_tpu.parallel.mesh import (  # noqa: E402
+    make_grid_mesh,
+    shard_problem_fields,
+)
+from macroc_tpu.problem import MacroProblem  # noqa: E402
+
+
+def main():
+    cfg = MacroConfig(**overrides)
+    p = MacroProblem(cfg, n_devices=2)
+    mesh = make_grid_mesh(p.grid)
+    u, state = p.init_fields()
+    # host-side leaves so device_put can lay them out on the GLOBAL mesh
+    u, state = jax.tree.map(np.asarray, (u, state))
+    u, state = shard_problem_fields(mesh, u, state)
+
+    out = []
+    for ts in range(cfg.ts):
+        U = cfg.displacement(ts)
+        u, state, diag = p.time_step_jit(u, state, jnp.asarray(U, p.dtype))
+        res = np.asarray(diag.res_norms)
+        out.append(
+            dict(
+                res_norms=[float(r) for r in res[~np.isnan(res)]],
+                force=float(diag.force),
+                n_solves=int(diag.n_solves),
+                procs=list(p.grid.procs),
+            )
+        )
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,83 @@ def test_mg_through_problem():
     # both solves only reach ksp_rtol=1e-5; agreement is at that level
     assert np.allclose(np.asarray(u), np.asarray(u2), rtol=1e-3, atol=1e-8)
     assert int(diag.ksp_its[0]) < int(diag2.ksp_its[0])
+
+
+def make_quirk_system(n=17):
+    """System assembled with the reference calc_B quirk (unit-element B,
+    real-spacing wg) — the form every reference-compatible run solves."""
+    from macroc_tpu.fem.element import b_for
+
+    cfg = MacroConfig(
+        nx=n, ny=n, nz=n, lx=4.0, ly=4.0, lz=4.0,
+        bc_type=BC_BENDING, dtype="float64", ref_b_quirk=True,
+    )
+    grid = make_grid(cfg, 1)
+    shape = (n, n, n)
+    B = jnp.asarray(b_for(grid.spacing, True))
+    C = elastic_matrix(MaterialParams())
+    ctan = jnp.broadcast_to(jnp.asarray(C), (n - 1,) * 3 + (8, 6, 6))
+    bc = bc_mod.build_bc(grid, cfg, jnp.float64)
+    A27 = bc_mod.apply_bc_stencil(assemble_stencil(ctan, B, grid.wg, shape), bc)
+    rng = np.random.default_rng(3)
+    b = np.where(np.asarray(bc.mask), 0.0, rng.normal(size=shape + (3,)))
+    return grid, ctan, to_soa(A27), jnp.moveaxis(bc.mask, -1, 0), x_to_soa(jnp.asarray(b))
+
+
+def test_quirk_hierarchy_grid_independent_iterations():
+    """The quirk family's B is spacing-independent, so naive rediscretized
+    coarse levels (wg_l = 8^l wg0) are ~4x too stiff per level vs Galerkin
+    and PCG degrades with depth (measured 21 its @17^3, 35 @33^3).  The
+    Galerkin-consistent scaling (wg_l = 2^l wg0, solve/mg.py) must give the
+    textbook flat O(6) count."""
+    grid, ctan, A_soa, bc_soa, b = make_quirk_system(n=17)
+    mv = lambda x: stencil_matvec_soa(A_soa, x)
+    levels = build_hierarchy(ctan, bc_soa, grid.spacing, ref_quirk=True)
+    assert len(levels) >= 4
+    r = cg_solve(mv, b, make_mg_preconditioner(levels), rtol=1e-5)
+    assert int(r.reason) > 0
+    assert int(r.its) <= 10, f"MG its {int(r.its)} — hierarchy scaling broken"
+
+
+def test_vcycle_pallas_mv_for_matches_jnp():
+    """mv_for selecting the interpret-mode Pallas kernel on a 128-z level
+    must reproduce the jnp-only V-cycle exactly (ADVICE r1: the
+    Pallas-in-V-cycle combination previously shipped unverified)."""
+    from functools import partial
+
+    from macroc_tpu.ops.stencil_pallas import stencil_matvec_pallas
+
+    nx, ny, nz = 5, 8, 128
+    cfg = MacroConfig(
+        nx=nx, ny=ny, nz=nz, lx=2.0, ly=2.0, lz=32.0,
+        bc_type=BC_BENDING, dtype="float64", ref_b_quirk=True,
+    )
+    grid = make_grid(cfg, 1)
+    from macroc_tpu.fem.element import b_for
+
+    B = jnp.asarray(b_for(grid.spacing, True))
+    C = elastic_matrix(MaterialParams())
+    ctan = jnp.broadcast_to(
+        jnp.asarray(C), (nx - 1, ny - 1, nz - 1) + (8, 6, 6)
+    )
+    bc = bc_mod.build_bc(grid, cfg, jnp.float64)
+    bc_soa = jnp.moveaxis(bc.mask, -1, 0)
+    levels = build_hierarchy(ctan, bc_soa, grid.spacing, ref_quirk=True)
+    assert levels[0].A_soa.shape[-1] == 128
+
+    def mv_for(level):
+        if level.A_soa.shape[-1] % 128 == 0:
+            return partial(stencil_matvec_pallas, interpret=True)
+        return stencil_matvec_soa
+
+    rng = np.random.default_rng(5)
+    r = jnp.asarray(
+        np.where(
+            np.asarray(bc.mask), 0.0, rng.normal(size=(nx, ny, nz, 3))
+        )
+    )
+    r = x_to_soa(r)
+    z_jnp = make_mg_preconditioner(levels)(r)
+    z_pal = make_mg_preconditioner(levels, mv_for=mv_for)(r)
+    rel = float(jnp.max(jnp.abs(z_pal - z_jnp)) / jnp.max(jnp.abs(z_jnp)))
+    assert rel < 1e-10, rel
