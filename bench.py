@@ -150,6 +150,38 @@ def bench_newton_step(n=128, dtype="float32", pc_type="auto"):
     return dict(newton_step_s=dt, ksp_its=int(its), n=n)
 
 
+def bench_microfe(n_gps=256, micro_n=10, dtype=jnp.float32):
+    """Micro-FE homogenize throughput at the PRODUCTION micro size
+    (micro_n=10, reference scripts/launch_jobs.sh:13-20): GP-homogenizations
+    per second for a heterogeneous two-phase RVE batch — each one a full
+    nonlinear RVE solve plus 6 linear tangent-sensitivity solves."""
+    from macroc_tpu.config import MIC_LAYER_Y, MaterialParams
+    from macroc_tpu.constitutive.microfe import MicroFEEngine
+
+    eng = MicroFEEngine(
+        n=micro_n,
+        micro_type=MIC_LAYER_Y,
+        mat1=MaterialParams(),
+        mat2=MaterialParams(E=1.0e6, nu=0.3, Sy=1.0e4, Ka=1.0e7),
+        dtype=dtype,
+    )
+    eps = (
+        jax.random.normal(jax.random.PRNGKey(3), (n_gps, 6), dtype) * 1e-4
+    )
+    state = eng.init_state((n_gps,))
+
+    def body(eps, state, w):
+        # keep a data dependency across loop iterations so the compiler
+        # cannot collapse the timing loop
+        r = eng.homogenize(eps * (1.0 + w * 1e-30), state)
+        return jnp.sum(r.stress) * jnp.asarray(1e-30, dtype) + w
+
+    dt = _timed_loop(
+        body, (eps, state, jnp.zeros((), dtype)), n_lo=2, n_hi=6
+    )
+    return dict(gp_per_s=n_gps / dt, n_gps=n_gps, micro_n=micro_n)
+
+
 def main():
     from macroc_tpu.utils.cache import setup_runtime
 
@@ -161,6 +193,7 @@ def main():
     # default via pc_type="auto") vs the reference's fixed Jacobi.
     newton_mg = bench_newton_step(n=128, pc_type="mg")
     newton_jac = bench_newton_step(n=128, pc_type="jacobi")
+    microfe = bench_microfe()
     for nm, r in (("mg", newton_mg), ("jacobi", newton_jac)):
         if not r["ksp_its"] < 10000:
             raise AssertionError(f"newton/{nm} CG did NOT converge")
@@ -181,6 +214,9 @@ def main():
             "newton_jacobi_ksp_its": newton_jac["ksp_its"],
             "ksp_rtol": 1e-5,
             "ksp_maxits": 10000,
+            "microfe_gp_per_s": microfe["gp_per_s"],
+            "microfe_n_gps": microfe["n_gps"],
+            "microfe_micro_n": microfe["micro_n"],
             "roofline_nnz_per_s": sol_nnz_per_s,
             "device": str(jax.devices()[0]),
         },

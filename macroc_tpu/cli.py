@@ -20,9 +20,17 @@ from macroc_tpu.driver import Simulation
 
 
 def main(argv=None):
+    import os
+
     from macroc_tpu.parallel.distributed import maybe_initialize
     from macroc_tpu.utils.cache import setup_runtime
 
+    # Explicit platform override (e.g. MACROC_PLATFORM=cpu for CI/testing):
+    # needed because site customization may force a platform list and the
+    # JAX_PLATFORMS env var is consumed before we run.
+    plat = os.environ.get("MACROC_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     # PetscInitialize equivalent (src/main.c:33): bring up the multi-host
     # runtime BEFORE any backend use.  No-op on single-host.
     maybe_initialize()

@@ -116,6 +116,10 @@ class MacroConfig:
     # Output — macroc.h:42
     vtu_freq: int = -1
     output_dir: str = "."
+    # VTU payload encoding: "ascii" matches the reference byte-for-byte
+    # (src/output.c); "binary" is VTK inline base64 (~4x smaller, ~20x
+    # faster to write); "auto" = binary for grids > 100k nodes.
+    vtu_encoding: str = "auto"
 
     # Device decomposition — reference -da_processors_{x,y,z} (README.md:52-54).
     # None = decide from available devices (PETSC_DECIDE equivalent).
@@ -220,6 +224,7 @@ _STR_FLAGS = {
     "-dtype": "dtype",
     "-operator": "operator",
     "-output_dir": "output_dir",
+    "-vtu_encoding": "vtu_encoding",
     "-checkpoint_dir": "checkpoint_dir",
     "-profile_dir": "profile_dir",
 }

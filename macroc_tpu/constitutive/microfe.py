@@ -125,6 +125,7 @@ class MicroFEEngine:
         newton_rtol: float = 1.0e-6,
         cg_rtol: float = 1.0e-8,
         cg_maxits: int = 300,
+        gp_chunk: int = 256,
     ):
         self.n = n
         self.micro_type = micro_type
@@ -139,6 +140,12 @@ class MicroFEEngine:
         self.newton_rtol = newton_rtol
         self.cg_rtol = cg_rtol
         self.cg_maxits = cg_maxits
+        # GPs vmapped concurrently per lax.map step: bounds device memory
+        # (each in-flight RVE carries its assembled 27-point micro stencil,
+        # ~243 * (n+1)^3 * 4 B — 12.7 MB at the production micro_n=10), so
+        # production macro grids with tens of thousands of GPs stream
+        # through in waves instead of OOMing.
+        self.gp_chunk = gp_chunk
 
         lx, ly, lz = self.params[0], self.params[1], self.params[2]
         self.spacing = (lx / n, ly / n, lz / n)
@@ -175,7 +182,7 @@ class MicroFEEngine:
         return hash(
             (self.n, self.micro_type, self.mat1, self.mat2, self.params,
              str(self.dtype), self.newton_its, self.newton_rtol,
-             self.cg_rtol, self.cg_maxits)
+             self.cg_rtol, self.cg_maxits, self.gp_chunk)
         )
 
     def __eq__(self, other):
@@ -337,9 +344,27 @@ class MicroFEEngine:
         alpha_f = state.alpha.reshape((flat,) + state.alpha.shape[len(batch):])
         u_f = state.u.reshape((flat,) + state.u.shape[len(batch):])
 
-        sigma, ctan, eps_p_n, alpha_n, u_n, nl, f_tr, cost, unconv = jax.vmap(
-            self._micro_solve
-        )(eps_f, eps_p_f, alpha_f, u_f)
+        solve_batch = jax.vmap(self._micro_solve)
+        chunk = self.gp_chunk
+        if flat <= chunk:
+            out = solve_batch(eps_f, eps_p_f, alpha_f, u_f)
+        else:
+            # stream the GP population through in fixed-size waves
+            # (sequential lax.map over chunks, vmap within) to bound the
+            # in-flight micro-stencil memory; tail-padded with repeats
+            pad = (-flat) % chunk
+            def pchunk(a):
+                a = jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+                return a.reshape((-1, chunk) + a.shape[1:])
+            out = jax.lax.map(
+                lambda args: solve_batch(*args),
+                (pchunk(eps_f), pchunk(eps_p_f), pchunk(alpha_f),
+                 pchunk(u_f)),
+            )
+            out = tuple(
+                a.reshape((-1,) + a.shape[2:])[:flat] for a in out
+            )
+        sigma, ctan, eps_p_n, alpha_n, u_n, nl, f_tr, cost, unconv = out
 
         def unflat(a):
             return a.reshape(batch + a.shape[1:])

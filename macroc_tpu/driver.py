@@ -6,9 +6,10 @@ src/main.c:49-108), producing:
     per-Newton-iteration |RES|, per-solve KSP its/rnorm, per-step force,
     f_trial_max, non-linear GP count);
   - info.dat + gauss_evolution.dat rows;
-  - optional VTU/PVTU output every vtu_freq steps (main.c:100-108);
-  - optional orbax-style checkpointing of (u, internal-var state, step) —
-    a TPU-native addition; the reference has no restart (SURVEY.md §5.4).
+  - optional VTU/PVTU output every vtu_freq steps (main.c:100-108), ASCII
+    (reference-compatible) or VTK inline-binary for large grids;
+  - optional npz checkpointing of (u, internal-var state, step) — a
+    TPU-native addition; the reference has no restart (SURVEY.md §5.4).
 
 The device work per step is ONE jit call; everything here is logging.
 """
@@ -28,8 +29,19 @@ from macroc_tpu.fem.kernels import compute_strains
 from macroc_tpu.forces import per_rank_nonlinear_counts
 from macroc_tpu.io import GaussEvolutionWriter, InfoWriter, write_pvtu
 from macroc_tpu.problem import MacroProblem
+from macroc_tpu.parallel.distributed import is_primary
 from macroc_tpu.utils import checkpoint as ckpt
 from macroc_tpu.utils.profiling import PhaseTimer, trace
+
+
+def _host(a) -> np.ndarray:
+    """Fetch an array to host numpy, gathering across processes when the
+    jax.Array is not fully addressable (multi-host runs)."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
 
 
 class Simulation:
@@ -42,19 +54,25 @@ class Simulation:
         self.cfg = cfg
         self.problem = MacroProblem(cfg, n_devices=n_devices)
         self.grid = self.problem.grid
-        self._log = log if log is not None else lambda s: print(s, end="")
+        self.primary = is_primary()  # rank-0 IO, PetscPrintf semantics
+        if log is None:
+            log = (lambda s: print(s, end="")) if self.primary else (
+                lambda s: None
+            )
+        self._log = log
 
     # ------------------------------------------------------------------ #
     def log_banner(self):
         cfg, g = self.cfg, self.grid
         L = self._log
-        L("\nMacroC-TPU : A TPU-native framework for FE2 Multi-scale "
-          "Simulations\n\n")
+        # byte-identical to the reference banner (src/main.c:38,
+        # init.c:122-131) so genuine reference logs can be diffed directly
+        L("\nMacroC : A HPC for FE2 Multi-scale Simulations\n\n")
         bc_name = {BC_BENDING: "BC_BENDING", BC_CIRCLE: "BC_CIRCLE"}.get(
             cfg.bc_type, "?"
         )
         L(f"Boundary Condition : {bc_name}\n")
-        L(f"Number of Devices  : {g.nproc}\n")
+        L(f"Number of CPUs     : {g.nproc}\n")
         L(f"Number of Elements : {g.nelem_global}\n")
         L(f"Number of Nodes    : {g.nnodes}\n")
         L(f"Number of DOFs     : {g.ndof}\n\n")
@@ -97,10 +115,33 @@ class Simulation:
                 start_step, (u, state) = loaded
                 L(f"Resumed from checkpoint at step {start_step}\n")
 
-        info = InfoWriter(os.path.join(cfg.output_dir, "info.dat"))
-        gauss = GaussEvolutionWriter(
-            os.path.join(cfg.output_dir, "gauss_evolution.dat")
-        )
+        if self.grid.nproc > 1:
+            # lay the fields out over the device mesh (P('x','y','z'));
+            # every kernel in time_step then runs SPMD-partitioned
+            from macroc_tpu.parallel.mesh import shard_problem_fields
+
+            u, state = jax.tree.map(np.asarray, (u, state))
+            u, state = shard_problem_fields(self.problem.mesh, u, state)
+
+        class _Null:
+            write_row = staticmethod(lambda *a, **k: None)
+            close = staticmethod(lambda: None)
+
+        if self.primary:
+            info = InfoWriter(
+                os.path.join(cfg.output_dir, "info.dat"),
+                append=start_step > 0,
+            )
+            gauss = GaussEvolutionWriter(
+                os.path.join(cfg.output_dir, "gauss_evolution.dat"),
+                append=start_step > 0,
+            )
+        else:
+            info = gauss = _Null()
+
+        vtu_encoding = cfg.vtu_encoding
+        if vtu_encoding == "auto":
+            vtu_encoding = "binary" if self.grid.nnodes > 100_000 else "ascii"
 
         timer = PhaseTimer()
         t1 = time.time()
@@ -133,7 +174,7 @@ class Simulation:
                         f"Its = {ksp_its[it]}\n"
                     )
 
-            nl = np.asarray(diag.non_linear)
+            nl = _host(diag.non_linear)
             per_rank = per_rank_nonlinear_counts(nl, self.grid)
             nl_gps = int(per_rank.sum())
             L(f"Non-Linear Gauss points : {nl_gps}\n")
@@ -167,21 +208,31 @@ class Simulation:
                 with timer.phase("vtu_output"):
                     u_real = self.problem.unpad_u(u)
                     strain = compute_strains(u_real, self.problem.B)
-                    write_pvtu(
-                        f"solution_{time_s}",
-                        self.grid,
-                        np.asarray(u_real),
-                        np.asarray(diag.stress),
-                        np.asarray(strain),
-                        nl,
-                        np.asarray(diag.cost),
-                        self.grid.wg,
-                        outdir=cfg.output_dir,
-                    )
+                    if self.primary:
+                        write_pvtu(
+                            f"solution_{time_s}",
+                            self.grid,
+                            _host(u_real),
+                            _host(diag.stress),
+                            _host(strain),
+                            nl,
+                            _host(diag.cost),
+                            self.grid.wg,
+                            outdir=cfg.output_dir,
+                            encoding=vtu_encoding,
+                        )
+                    else:
+                        # non-primary processes still participate in the
+                        # allgathers the primary's _host() calls issue
+                        _host(u_real), _host(diag.stress)
+                        _host(strain), _host(diag.cost)
 
             if cfg.checkpoint_freq > 0 and (time_s + 1) % cfg.checkpoint_freq == 0:
                 with timer.phase("checkpoint"):
-                    ckpt.save(cfg.checkpoint_dir, time_s + 1, (u, state))
+                    ckpt.save(
+                        cfg.checkpoint_dir, time_s + 1, (u, state),
+                        write=self.primary,
+                    )
 
         jax.block_until_ready(u)
         profiler.__exit__(None, None, None)

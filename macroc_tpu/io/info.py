@@ -17,9 +17,11 @@ from typing import Sequence
 
 
 class InfoWriter:
-    def __init__(self, path: str = "info.dat"):
+    def __init__(self, path: str = "info.dat", append: bool = False):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "w")
+        # append=True on checkpoint resume, so the file stays a complete
+        # history instead of truncating to the resumed tail
+        self._f = open(path, "a" if append else "w")
 
     def write_row(
         self,
@@ -46,9 +48,9 @@ class InfoWriter:
 
 
 class GaussEvolutionWriter:
-    def __init__(self, path: str = "gauss_evolution.dat"):
+    def __init__(self, path: str = "gauss_evolution.dat", append: bool = False):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "w")
+        self._f = open(path, "a" if append else "w")
 
     def write_row(self, time_s: int, per_rank_counts: Sequence[int]):
         self._f.write(f"{time_s}\t")

@@ -84,10 +84,18 @@ def gmres_solve(
             active = reason == 0
 
             w = M(A(Vm[j]))
-            # modified Gram-Schmidt via one projection against the full basis
-            # (rows > j are zero, so they contribute nothing)
+            # classical Gram-Schmidt with a full re-orthogonalization pass
+            # (CGS2): the second projection recovers the orthogonality that
+            # single-pass CGS loses on ill-conditioned systems, with the
+            # same loss bound as modified GS (Giraud/Langou/Rozloznik 2005)
+            # but as two batched (j+1,N) matvecs instead of MGS's
+            # sequential per-vector chain — the TPU-friendly form.  Rows
+            # > j of Vm are zero and contribute nothing.
             h = Vm @ w
             w = w - Vm.T @ h
+            h2 = Vm @ w
+            w = w - Vm.T @ h2
+            h = h + h2
             hnext = jnp.linalg.norm(w)
             Vm = Vm.at[j + 1].set(
                 jnp.where(active & (hnext > tiny), w / jnp.maximum(hnext, tiny), Vm[j + 1])

@@ -84,3 +84,52 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.allclose(np.asarray(loaded[0]), np.arange(12.0).reshape(3, 4))
     assert np.allclose(np.asarray(loaded[1]["a"]), 1.0)
     assert ckpt.load_latest(str(tmp_path / "none"), tree) is None
+
+
+def test_vtu_binary_roundtrip(tmp_path):
+    """encoding='binary' (VTK inline base64) must carry exactly the arrays
+    the ascii path formats — decoded and compared field by field."""
+    import base64
+    import struct
+
+    from macroc_tpu.io.vtu import _piece_arrays, _VTK_DTYPE
+
+    rng = np.random.default_rng(4)
+    grid = StructuredGrid3D(nx=5, ny=3, nz=4, lx=4.0, ly=2.0, lz=3.0,
+                            procs=(2, 1, 1))
+    ne = (4, 2, 3)
+    u = rng.normal(size=(5, 3, 4, 3))
+    stress = rng.normal(size=ne + (8, 6))
+    strain = rng.normal(size=ne + (8, 6))
+    nl = rng.random(ne + (8,)) > 0.5
+    cost = rng.random(ne + (8,))
+    path = write_pvtu("bin", grid, u, stress, strain, nl, cost, wg=0.125,
+                      outdir=str(tmp_path), encoding="binary")
+    assert os.path.exists(path)
+
+    el_strain = strain.sum(axis=3) * 0.125
+    el_stress = stress.sum(axis=3) * 0.125
+    el_cost = cost.sum(axis=3) / 8.0
+    el_nl = nl.astype(np.int64).sum(axis=3)
+
+    for r in range(grid.nproc):
+        b = grid.local_box(r)
+        ref = _piece_arrays(grid, b, r, u, el_strain, el_stress, el_nl,
+                            el_cost)
+        tree = ET.parse(os.path.join(tmp_path, f"bin-subdo-{r}.vtu"))
+        for da in tree.iter("DataArray"):
+            assert da.get("format") == "binary"
+            raw = base64.b64decode(da.text.strip())
+            (nbytes,) = struct.unpack("<I", raw[:4])
+            assert nbytes == len(raw) - 4
+            dec = np.frombuffer(raw[4:], dtype=_VTK_DTYPE[da.get("type")])
+            name = {"Position": "points", "non-linear": "non_linear"}.get(
+                da.get("name") or da.get("Name"), da.get("Name")
+            )
+            want = np.asarray(ref[name]).ravel()
+            assert dec.size == want.size, name
+            np.testing.assert_allclose(
+                dec.astype(np.float64),
+                want.astype(np.float64),
+                rtol=0, atol=0, err_msg=name,
+            )

@@ -7,6 +7,7 @@ the whole micro pipeline — affine BCs, assembly, CG, radial return,
 volume averaging — against an independent closed form.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -150,3 +151,25 @@ def test_batched_gps():
     assert np.allclose(
         np.asarray(r.stress), np.asarray(eps) @ C.T, rtol=1e-7, atol=1e-4
     )
+
+
+def test_gp_chunking_matches_unchunked():
+    """lax.map-chunked GP streaming (gp_chunk < batch, incl. a padded tail)
+    must be bit-identical to the all-at-once vmap."""
+    eng_all = make_engine(n=2, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT)
+    eng_chk = make_engine(
+        n=2, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT, gp_chunk=3
+    )
+    rng = np.random.default_rng(8)
+    eps = jnp.asarray(rng.normal(size=(7, 6)) * 2e-3)  # 3 chunks, tail pad
+    s0 = eng_all.init_state((7,))
+    r_all = eng_all.homogenize(eps, s0)
+    r_chk = eng_chk.homogenize(eps, s0)
+    for a, b in zip(jax.tree_util.tree_leaves(r_all),
+                    jax.tree_util.tree_leaves(r_chk)):
+        a, b = np.asarray(a), np.asarray(b)
+        # chunked compilation may fuse differently -> last-ulp drift only
+        np.testing.assert_allclose(
+            a.astype(np.float64), b.astype(np.float64),
+            rtol=1e-9, atol=1e-9 * max(1.0, np.abs(a).max()),
+        )

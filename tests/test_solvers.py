@@ -112,3 +112,28 @@ def test_gmres_nonsymmetric():
         lambda x: jnp.asarray(A) @ x, jnp.asarray(b), rtol=1e-12, restart=15
     )
     assert np.allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-8)
+
+
+def test_gmres_ill_conditioned_reorthogonalization():
+    """CGS2 re-orthogonalization: on an ill-conditioned non-normal system
+    the Givens-maintained residual estimate must stay consistent with the
+    TRUE residual (single-pass classical GS loses basis orthogonality and
+    the estimate silently diverges from reality — VERDICT r1 weak #5)."""
+    rng = np.random.default_rng(11)
+    n = 120
+    # condition ~1e8, non-normal: D + strictly-upper noise
+    d = np.logspace(0, 8, n)
+    A = np.diag(d) + np.triu(rng.normal(size=(n, n)), k=1) * 10.0
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    Aj = jnp.asarray(A)
+    dinv = jnp.asarray(1.0 / d)
+    res = gmres_solve(
+        lambda v: Aj @ v, jnp.asarray(b), lambda r: dinv * r,
+        rtol=1e-12, maxits=2000, restart=60,
+    )
+    assert int(res.reason) > 0
+    x = np.asarray(res.x)
+    true_rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    # estimated convergence must be real convergence
+    assert true_rel < 1e-8, true_rel
