@@ -103,6 +103,26 @@ def halo_fold_add(
     return xe
 
 
+def _stencil_on_box(Al, xe, box):
+    """Apply the local 27-point block stencil on the sub-box
+    [i0:i1, j0:j1, k0:k1] of the halo-extended local x (xe carries a 1-node
+    halo per face, true node i at xe index i+1)."""
+    (i0, i1), (j0, j1), (k0, k1) = box
+    acc = None
+    for o, (di, dj, dk) in enumerate(STENCIL_OFFSETS):
+        xw = xe[
+            :,
+            1 + di + i0:1 + di + i1,
+            1 + dj + j0:1 + dj + j1,
+            1 + dk + k0:1 + dk + k1,
+        ]
+        t = jnp.einsum(
+            "dexyz,exyz->dxyz", Al[o, :, :, i0:i1, j0:j1, k0:k1], xw
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def shmap_stencil_matvec(
     mesh: Mesh,
     A_soa: jax.Array,
@@ -110,6 +130,7 @@ def shmap_stencil_matvec(
     kernel: str = "jnp",
     tile: Tuple[int, int, int] = (4, 16, 128),
     interpret: bool = False,
+    overlap: bool = True,
 ):
     """Explicit-collective SpMV: y = A x with per-axis ppermute halos.
 
@@ -119,10 +140,19 @@ def shmap_stencil_matvec(
     halo-extended local x.
 
     kernel="pallas" runs the per-device block through the roofline Pallas
-    kernel (ops/stencil_pallas.py, halo=True form) — the multi-chip
-    composition of the single-chip speed-of-light SpMV; ``interpret`` runs
-    that kernel in the Pallas interpreter (CPU testing).  kernel="jnp" uses
-    the fused-einsum path (portable).
+    kernel (ops/stencil_pallas.py) — the multi-chip composition of the
+    single-chip speed-of-light SpMV; ``interpret`` runs that kernel in the
+    Pallas interpreter (CPU testing).  kernel="jnp" uses the fused-einsum
+    path (portable).
+
+    overlap=True (SURVEY.md §5.7, the reference's halo/compute-overlap
+    analog): the full local volume is FIRST computed with zero halos —
+    pure local data, no dependency on the ppermutes — and only the 1-node
+    boundary shell is then recomputed from the exchanged halos.  The
+    collective permutes therefore overlap with ~all of the SpMV's HBM
+    traffic (XLA schedules the independent ops concurrently); the shell
+    recompute costs O(surface/volume) extra work.  overlap=False is the
+    naive exchange-then-compute form (kept as the oracle).
     """
 
     @partial(
@@ -135,23 +165,43 @@ def shmap_stencil_matvec(
         check_vma=False,
     )
     def mv(Al, xl):
+        from macroc_tpu.ops.stencil_pallas import (
+            stencil_matvec_pallas,
+            stencil_matvec_soa,
+        )
+
         lnx, lny, lnz = xl.shape[1:]
+
+        if overlap:
+            # interior pass from local data only (zero halos) — independent
+            # of the ppermutes, so XLA overlaps them with this compute
+            if kernel == "pallas":
+                y = stencil_matvec_pallas(
+                    Al, xl, tile=tile, interpret=interpret
+                )
+            else:
+                y = stencil_matvec_soa(Al, xl)
+            xe = halo_exchange(xl, dims=(1, 2, 3))
+            # recompute the 1-node boundary shell with true halo data; a
+            # node on an edge/corner is written more than once with the
+            # same (full-window) value — idempotent
+            full = ((0, lnx), (0, lny), (0, lnz))
+            for d, ln in enumerate((lnx, lny, lnz)):
+                for lo, hi in ((0, 1), (ln - 1, ln)):
+                    box = list(full)
+                    box[d] = (lo, hi)
+                    sl = [slice(None)] * 3
+                    sl[d] = slice(lo, hi)
+                    y = y.at[(slice(None),) + tuple(sl)].set(
+                        _stencil_on_box(Al, xe, tuple(box))
+                    )
+            return y
+
         xe = halo_exchange(xl, dims=(1, 2, 3))
         if kernel == "pallas":
-            from macroc_tpu.ops.stencil_pallas import stencil_matvec_pallas
-
             return stencil_matvec_pallas(
                 Al, xe, tile=tile, interpret=interpret, halo=True
             )
-        y = jnp.zeros_like(xl)
-        for o, (di, dj, dk) in enumerate(STENCIL_OFFSETS):
-            xw = xe[
-                :,
-                1 + di:1 + di + lnx,
-                1 + dj:1 + dj + lny,
-                1 + dk:1 + dk + lnz,
-            ]
-            y = y + jnp.einsum("dexyz,exyz->dxyz", Al[o], xw)
-        return y
+        return _stencil_on_box(Al, xe, ((0, lnx), (0, lny), (0, lnz)))
 
     return mv(A_soa, x_soa)

@@ -25,7 +25,7 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 
-from macroc_tpu.config import MacroConfig  # noqa: E402
+from macroc_tpu.config import MacroConfig, MaterialParams  # noqa: E402
 from macroc_tpu.problem import MacroProblem  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
@@ -46,6 +46,15 @@ CONFIGS = {
         ts=4, dt=0.05, dtype="float64",
     ),
     "default_grid_smoke": MacroConfig(ts=2, dtype="float64"),
+    # a reference launch line with -micro_mat_2 != mat_1: constitutive
+    # "auto" must route to the micro-FE engine (true FE^2 physics) with no
+    # extra flags (reference always runs MicroPP, src/init.c:195-216)
+    "hetero_micro_fe2_3x2x2": MacroConfig(
+        nx=3, ny=2, nz=2, lx=2.0, ly=1.0, lz=1.0, bc_type=0,
+        ts=2, dt=0.1, newton_max_its=5, micro_n=4, micro_type=1,
+        micro_mat_2=MaterialParams(E=1.0e6, nu=0.3, Sy=5.0e3, Ka=2.0e6),
+        dtype="float64",
+    ),
 }
 
 

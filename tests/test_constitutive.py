@@ -157,3 +157,26 @@ def test_j2_elastic_unloading():
     C = elastic_matrix(MAT)
     dsig = np.asarray(r2.stress) - np.asarray(r.stress)
     assert np.allclose(dsig, C @ (np.asarray(eps2 - eps)), rtol=1e-8)
+
+
+def test_make_engine_auto_routing():
+    """constitutive='auto' (the default) must pick the engine the FLAGS
+    describe: micro-FE whenever mat_1 != mat_2 and the geometry actually
+    places material 2, closed-form J2 otherwise (VERDICT r1 #4: a
+    reference launch line with -micro_mat_2 previously computed the wrong
+    physics unless the user added a non-reference flag)."""
+    import jax.numpy as jnp
+
+    from macroc_tpu.config import MIC_HOMOGENEOUS, MacroConfig, MaterialParams
+    from macroc_tpu.constitutive import J2Engine, make_engine
+    from macroc_tpu.constitutive.microfe import MicroFEEngine
+
+    soft = MaterialParams(E=1e6, nu=0.3, Sy=5e3, Ka=2e6)
+    # heterogeneous flags -> micro-FE
+    cfg = MacroConfig(micro_mat_2=soft, micro_type=1, micro_n=4)
+    assert isinstance(make_engine(cfg, jnp.float64), MicroFEEngine)
+    # identical materials (the reference default) -> closed form is exact
+    assert isinstance(make_engine(MacroConfig(), jnp.float64), J2Engine)
+    # different materials but geometry never places material 2 -> J2
+    cfg = MacroConfig(micro_mat_2=soft, micro_type=MIC_HOMOGENEOUS)
+    assert isinstance(make_engine(cfg, jnp.float64), J2Engine)

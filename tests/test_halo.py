@@ -122,3 +122,43 @@ def test_shmap_matvec_pallas_matches_global():
     )
     rel = float(np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)))
     assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("kernel", ["jnp", "pallas"])
+@pytest.mark.parametrize("overlap", [False, True])
+def test_shmap_matvec_overlap_modes(kernel, overlap):
+    """The halo/compute-OVERLAP form (interior from local data + boundary
+    shell recomputed from exchanged halos, SURVEY.md §5.7) must equal both
+    the naive exchange-then-compute form and the global oracle, for both
+    the jnp and (interpret-mode) Pallas kernels."""
+    from macroc_tpu.ops.stencil_pallas import stencil_matvec_soa
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(9)
+    A = jnp.asarray(rng.normal(size=(27, 3, 3, 8, 8, 8)), dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(3, 8, 8, 8)), dtype=jnp.float32)
+    y_ref = np.asarray(stencil_matvec_soa(A, x))
+    y = np.asarray(
+        shmap_stencil_matvec(
+            mesh, A, x, kernel=kernel, tile=(4, 8, 128),
+            interpret=True, overlap=overlap,
+        )
+    )
+    rel = float(np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)))
+    assert rel < 1e-5, rel
+
+
+def test_shmap_matvec_overlap_degenerate_mesh():
+    """Overlap mode with 1-node-deep local blocks (8-way split of an
+    8-extent dim): every local node is on the shell."""
+    from jax.sharding import Mesh
+    from macroc_tpu.ops.stencil_pallas import stencil_matvec_soa
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 1, 8),
+                ("x", "y", "z"))
+    rng = np.random.default_rng(10)
+    A = jnp.asarray(rng.normal(size=(27, 3, 3, 4, 4, 8)))
+    x = jnp.asarray(rng.normal(size=(3, 4, 4, 8)))
+    y_ref = np.asarray(stencil_matvec_soa(A, x))
+    y = np.asarray(shmap_stencil_matvec(mesh, A, x, overlap=True))
+    assert np.allclose(y, y_ref, atol=1e-10)
