@@ -119,6 +119,31 @@ def apply_bc_stencil(A27: jax.Array, bc: BCData) -> jax.Array:
     return A27
 
 
+def apply_bc_stencil_soa(A_soa: jax.Array, bc: BCData) -> jax.Array:
+    """apply_bc_stencil on the SoA layout (27,3,3,nx,ny,nz) — avoids two
+    2 GB layout transposes at 128^3 when the operator is assembled
+    directly in SoA (assemble_stencil_soa)."""
+    mask = jnp.moveaxis(bc.mask, -1, 0)  # (3,nx,ny,nz)
+    nx, ny, nz = mask.shape[1:]
+    zero = jnp.zeros((), dtype=A_soa.dtype)
+    # rows: A[o, d, :, p] = 0 where mask[d, p]
+    A_soa = jnp.where(mask[None, :, None], zero, A_soa)
+    # cols: A[o, :, e, p] = 0 where the o-neighbor of p has mask[e, .]
+    mp = jnp.pad(mask, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    nmask = jnp.stack(
+        [
+            mp[:, 1 + di:1 + di + nx, 1 + dj:1 + dj + ny, 1 + dk:1 + dk + nz]
+            for (di, dj, dk) in STENCIL_OFFSETS
+        ],
+        axis=0,
+    )  # (27,3,nx,ny,nz)
+    A_soa = jnp.where(nmask[:, None], zero, A_soa)
+    # unit diagonal at constrained dofs
+    eye = jnp.eye(3, dtype=A_soa.dtype)
+    add = eye[:, :, None, None, None] * mask[:, None].astype(A_soa.dtype)
+    return A_soa.at[DIAG_OFFSET].add(add)
+
+
 def bc_operator(matvec, bc: BCData):
     """Wrap a matvec with on-the-fly symmetric Dirichlet elimination (for the
     matrix-free operator path): y = x on constrained dofs, A restricted to

@@ -95,6 +95,13 @@ class MacroConfig:
     ksp_dtol: float = 1.0e4
     ksp_maxits: int = 10000
     gmres_restart: int = 30
+    # Geometric-MG V-cycle shape (pc_type=mg): pre/post smoothing sweeps,
+    # damped-block-Jacobi weight, coarsest-level sweep count.  V(1,1) with
+    # 10 coarse sweeps measured fastest end-to-end at 128^3 on v5e
+    # (629 ms @ 9 CG its vs 678 ms @ 7 for V(2,2)/20).
+    mg_nu: int = 1
+    mg_omega: float = 0.6
+    mg_coarse_sweeps: int = 10
 
     # BCs — src/init.c:64,141
     bc_type: int = BC_CIRCLE
@@ -201,6 +208,8 @@ _INT_FLAGS = {
     "-micro_type": "micro_type",
     "-ksp_max_it": "ksp_maxits",
     "-ksp_gmres_restart": "gmres_restart",
+    "-mg_nu": "mg_nu",
+    "-mg_coarse_sweeps": "mg_coarse_sweeps",
     "-checkpoint_freq": "checkpoint_freq",
 }
 
@@ -215,6 +224,7 @@ _REAL_FLAGS = {
     "-ksp_atol": "ksp_abstol",
     "-ksp_divtol": "ksp_dtol",
     "-rad": "rad",
+    "-mg_omega": "mg_omega",
 }
 
 _STR_FLAGS = {

@@ -125,6 +125,7 @@ class MicroFEEngine:
         newton_rtol: float = 1.0e-6,
         cg_rtol: float = 1.0e-8,
         cg_maxits: int = 300,
+        tangent_cg_rtol: float = 1.0e-6,
         gp_chunk: int = 256,
     ):
         self.n = n
@@ -140,6 +141,12 @@ class MicroFEEngine:
         self.newton_rtol = newton_rtol
         self.cg_rtol = cg_rtol
         self.cg_maxits = cg_maxits
+        # Sensitivity (tangent-column) solves can run looser than the
+        # equilibrium solves: tangent error only perturbs the MACRO Newton
+        # direction (its convergence check uses the residual, not the
+        # tangent), so 1e-6 keeps quadratic-enough convergence at ~25%
+        # fewer micro CG iterations.
+        self.tangent_cg_rtol = tangent_cg_rtol
         # GPs vmapped concurrently per lax.map step: bounds device memory
         # (each in-flight RVE carries its assembled 27-point micro stencil,
         # ~243 * (n+1)^3 * 4 B — 12.7 MB at the production micro_n=10), so
@@ -182,7 +189,8 @@ class MicroFEEngine:
         return hash(
             (self.n, self.micro_type, self.mat1, self.mat2, self.params,
              str(self.dtype), self.newton_its, self.newton_rtol,
-             self.cg_rtol, self.cg_maxits, self.gp_chunk)
+             self.cg_rtol, self.cg_maxits, self.tangent_cg_rtol,
+             self.gp_chunk)
         )
 
     def __eq__(self, other):
@@ -306,7 +314,7 @@ class MicroFEEngine:
                 partial(stencil_matvec, A27_el),
                 rhs,
                 Mj,
-                rtol=self.cg_rtol,
+                rtol=self.tangent_cg_rtol,
                 maxits=self.cg_maxits,
             )
             du = wb + res.x

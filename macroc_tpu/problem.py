@@ -185,8 +185,14 @@ class MacroProblem:
         pc_type = cfg.pc_type
         if pc_type == "auto":
             # MG V-cycle needs a deep hierarchy to pay off; below ~17 per
-            # extent the Jacobi-CG iteration count is small anyway.
-            pc_type = "mg" if min(self.node_shape) >= 17 else "jacobi"
+            # extent the Jacobi-CG iteration count is small anyway.  The
+            # matfree operator has no assembled stencil to build a
+            # hierarchy from — always Jacobi there.
+            pc_type = (
+                "mg"
+                if min(self.node_shape) >= 17 and cfg.operator != "matfree"
+                else "jacobi"
+            )
         if operator == "auto":
             on_tpu = jax.default_backend() == "tpu"
             # The Pallas kernel pads the LOCAL z extent up to a multiple of
@@ -209,9 +215,16 @@ class MacroProblem:
                 jacobi_precond_soa,
             )
 
-            A27 = assemble_stencil(ctan, self.B, self.grid.wg, self.node_shape)
-            A27 = bc_mod.apply_bc_stencil(A27, self.bc)
-            A_soa = to_soa(A27)
+            from macroc_tpu.fem.kernels import assemble_stencil_soa
+
+            # assemble directly in the solver's SoA layout (2x faster than
+            # the AoS slice-wise form + to_soa at 128^3; see kernels.py)
+            A_soa = bc_mod.apply_bc_stencil_soa(
+                assemble_stencil_soa(
+                    ctan, self.B, self.grid.wg, self.node_shape
+                ),
+                self.bc,
+            )
             if operator == "stencil_pallas":
                 interp = jax.default_backend() == "cpu"
                 if nproc > 1:
@@ -267,7 +280,13 @@ class MacroProblem:
                                        interpret=interp)
                     return stencil_matvec_soa
 
-                M = make_mg_preconditioner(levels, mv_for=mv_for)
+                M = make_mg_preconditioner(
+                    levels,
+                    nu=cfg.mg_nu,
+                    omega=cfg.mg_omega,
+                    coarse_sweeps=cfg.mg_coarse_sweeps,
+                    mv_for=mv_for,
+                )
             else:
                 M = identity_precond()
             common = dict(

@@ -37,8 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from macroc_tpu.fem.element import b_for
-from macroc_tpu.fem.kernels import DIAG_OFFSET, assemble_stencil
-from macroc_tpu.ops.stencil_pallas import stencil_matvec_soa, to_soa
+from macroc_tpu.fem.kernels import DIAG_OFFSET, assemble_stencil_soa
+from macroc_tpu.ops.stencil_pallas import stencil_matvec_soa
 from macroc_tpu.solve.precond import _inv3x3
 
 
@@ -208,15 +208,13 @@ def build_hierarchy(
             A_soa = A0_soa
         else:
             B = jnp.asarray(b_for(cur_spacing, ref_quirk), dtype=dtype)
-            A27 = assemble_stencil(cur_ctan, B, wg, shape)
             mask_aos = jnp.moveaxis(cur_mask, 0, -1)  # (nx,ny,nz,3)
-            A27 = bc_mod.apply_bc_stencil(
-                A27,
+            A_soa = bc_mod.apply_bc_stencil_soa(
+                assemble_stencil_soa(cur_ctan, B, wg, shape),
                 bc_mod.BCData(
                     mask=mask_aos, val_unit=jnp.zeros(shape + (3,), dtype)
                 ),
             )
-            A_soa = to_soa(A27)
         inv_diag = _inv3x3(jnp.moveaxis(A_soa[DIAG_OFFSET], (0, 1), (-2, -1)))
         levels.append(MGLevel(A_soa=A_soa, inv_diag=inv_diag, bc_mask=cur_mask))
 

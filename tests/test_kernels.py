@@ -126,3 +126,40 @@ def test_stencil_matvec_vs_dense(setup):
     y = np.asarray(stencil_matvec(A27, jnp.asarray(x)))
     expect = (dense @ x.reshape(-1)).reshape(nx, ny, nz, 3)
     assert np.allclose(y, expect, atol=1e-9)
+
+
+def test_assemble_stencil_soa_matches_aos():
+    """assemble_stencil_soa (the TPU-fast x-slab-blocked SoA assembly used
+    by the solver) must equal to_soa(assemble_stencil) exactly, including
+    an uneven final slab; same for the SoA BC elimination."""
+    import jax.numpy as jnp
+
+    from macroc_tpu import bc as bc_mod
+    from macroc_tpu.config import BC_BENDING, MacroConfig
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import assemble_stencil, assemble_stencil_soa
+    from macroc_tpu.grid import make_grid
+    from macroc_tpu.ops.stencil_pallas import to_soa
+
+    rng = np.random.default_rng(12)
+    shape = (6, 4, 5)  # nex=5: blocks of 2 leave an uneven final slab
+    ne = tuple(n - 1 for n in shape)
+    ctan = jnp.asarray(rng.normal(size=ne + (8, 6, 6)))
+    ctan = ctan + jnp.swapaxes(ctan, -1, -2)  # symmetric blocks
+    B = jnp.asarray(b_matrix((0.7, 1.1, 0.9)))
+    wg = 0.123
+    A_aos = assemble_stencil(ctan, B, wg, shape)
+    A_soa = assemble_stencil_soa(ctan, B, wg, shape, block=2)
+    np.testing.assert_allclose(
+        np.asarray(to_soa(A_aos)), np.asarray(A_soa), rtol=1e-13, atol=1e-13
+    )
+
+    cfg = MacroConfig(nx=shape[0], ny=shape[1], nz=shape[2],
+                      lx=2.0, ly=1.0, lz=1.5, bc_type=BC_BENDING,
+                      dtype="float64")
+    bc = bc_mod.build_bc(make_grid(cfg, 1), cfg, jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(to_soa(bc_mod.apply_bc_stencil(A_aos, bc))),
+        np.asarray(bc_mod.apply_bc_stencil_soa(A_soa, bc)),
+        rtol=1e-13, atol=1e-13,
+    )
