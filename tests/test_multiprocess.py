@@ -88,3 +88,74 @@ def test_two_process_distributed_matches_single():
         assert step["n_solves"] == int(diag.n_solves)
         assert np.allclose(step["res_norms"], res, rtol=1e-8, atol=1e-12)
         assert np.isclose(step["force"], float(diag.force), rtol=1e-8)
+
+
+def test_two_process_cli_end_to_end(tmp_path):
+    """Full CLI under 2 processes: primary-rank-only file IO, allgather
+    fetches for VTU/diagnostics, sharded fields in the driver, checkpoint
+    gather+resume — the mpirun-launched binary equivalent."""
+    port = _free_port()
+    outdir = tmp_path / "mp"
+    ck = tmp_path / "ck"
+    flags = [
+        "-da_grid_x", "5", "-da_grid_y", "3", "-da_grid_z", "3",
+        "-dt", "0.002", "-dtype", "float64", "-bc_type", "1", "-rad", "2.0",
+        "-vtu_freq", "1", "-checkpoint_freq", "1",
+        "-checkpoint_dir", str(ck), "-output_dir", str(outdir),
+    ]
+
+    def launch(extra):
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update(
+                XLA_FLAGS="",
+                MACROC_PLATFORM="cpu",
+                MACROC_COORDINATOR=f"localhost:{port}",
+                MACROC_NUM_PROCESSES="2",
+                MACROC_PROCESS_ID=str(pid),
+                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            )
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "macroc_tpu", *flags, *extra],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True, env=env, cwd=REPO,
+                )
+            )
+        outs = [p.communicate(timeout=840)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-4000:]
+        return outs
+
+    outs = launch(["-ts", "2"])
+    # rank-0-only narrative: process 1 must stay silent
+    assert "STARTING CALCULATION" in outs[0]
+    assert "STARTING CALCULATION" not in outs[1]
+    assert "Number of CPUs     : 2" in outs[0]
+    rows = np.loadtxt(outdir / "info.dat", ndmin=2)
+    assert rows.shape == (2, 6)
+    assert (outdir / "solution_1.pvtu").exists()
+    assert (ck / "step_2.npz").exists()
+
+    # resume 2 -> 3 under 2 processes (load + re-shard on the mesh)
+    port = _free_port()  # fresh coordinator port for the second launch
+    outs2 = launch(["-ts", "3", "-resume"])
+    assert "Resumed from checkpoint at step 2" in outs2[0]
+    rows2 = np.loadtxt(outdir / "info.dat", ndmin=2)
+    assert rows2.shape == (3, 6)
+
+    # oracle: single-process run, same flags
+    env = dict(os.environ)
+    env.update(XLA_FLAGS="", MACROC_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    out1 = tmp_path / "sp"
+    r = subprocess.run(
+        [sys.executable, "-m", "macroc_tpu", *flags[:-2],
+         "-output_dir", str(out1), "-ts", "3",
+         "-checkpoint_dir", str(tmp_path / "ck1")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=840,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    rows_sp = np.loadtxt(out1 / "info.dat", ndmin=2)
+    np.testing.assert_allclose(rows2, rows_sp, rtol=1e-8, atol=1e-12)
