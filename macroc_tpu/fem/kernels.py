@@ -143,37 +143,53 @@ def assemble_stencil_soa(
     A_soa (27,3,3,nx,ny,nz) — the form the solver consumes.
 
     Same math as assemble_stencil, restructured for TPU memory behavior
-    (measured at 128^3/v5e: 333 ms vs 581 ms for the AoS slice-wise form —
-    the dominant cost of a Newton step either way, see CLAUDE.md):
+    (the dominant cost of a 128^3 Newton step; see CLAUDE.md):
 
-      - the pairwise element blocks come from ONE einsum per x-slab with
-        the SPATIAL dims minor (``->ndmexyz``), so no intermediate is ever
+      - the pairwise element blocks come from ONE einsum per slab with the
+        SPATIAL dims minor (``->ndmexyz``), so no intermediate is ever
         materialized with tiny (6,6)/(3,3) minor dims — XLA pads such
-        minors to (8,128) tiles, a ~16x memory blowup that OOMs at 128^3;
-      - x-slab blocking (``block`` elements per slab) bounds the transient
-        pairwise tensor to ~0.6 GB instead of 4.6 GB;
-      - scatter into the 27 offsets is 64 static-slice adds per slab.
+        minors to (8,128) tiles, a ~16x memory blowup that OOMs at 128^3
+        (the einsum itself measures ~51 ms at 128^3/v5e);
+      - slabs are ROW(x)-aligned and each output slab is built purely from
+        pads + adds + stack of einsum slices, then all slabs concatenate
+        along x: there is NO read-modify-write `.at[].add` into the global
+        A anywhere.  (The earlier 64-slice-scatter formulation spent
+        ~280 ms/step in those RMW updates — 85% of its assembly time.)
+      - a row-slab [x0, x0+nb) needs element planes [x0-1, x0+nb): the
+        once-padded ctan (one zero plane each side in every dim) makes all
+        slab/pair slices static and boundary-safe;
+      - ``block`` bounds the per-slab pairwise transient (~0.6 GB at 16).
     """
     nx, ny, nz = grid_shape
-    nex, ney, nez = nx - 1, ny - 1, nz - 1
-    A = jnp.zeros((N_STENCIL, DIM, DIM, nx, ny, nz), dtype=ctan.dtype)
-    for x0 in range(0, nex, block):
-        nb = min(block, nex - x0)
-        cs = ctan[x0:x0 + nb]
-        # (a-node, d, b-node, e, x, y, z) pairwise blocks for this slab
+    # zero element padding: cp[i] = ctan[i-1] per dim (zeros outside), so
+    # row r's contributing elements r-1 and r are cp[r] and cp[r+1]
+    cp = jnp.pad(ctan, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    slabs = []
+    for x0 in range(0, nx, block):
+        nb = min(block, nx - x0)
+        # element planes (padded indexing) covering rows [x0, x0+nb)
+        cs = cp[x0:x0 + nb + 1]
+        # (a-node, d, b-node, e, x, y, z) pairwise blocks; y/z carry the
+        # one-plane zero pad so every row's neighbors exist
         Ae = jnp.einsum("gvnd,xyzgvw,gwme->ndmexyz", B, cs, B) * wg
+        parts = [None] * N_STENCIL
         for a in range(NPE):
-            oa = NODE_OFFSETS[a]
+            oax, oay, oaz = NODE_OFFSETS[a]
             for b in range(NPE):
                 ob = NODE_OFFSETS[b]
-                o = offset_index(ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
-                A = A.at[
-                    o, :, :,
-                    x0 + oa[0]:x0 + oa[0] + nb,
-                    oa[1]:oa[1] + ney,
-                    oa[2]:oa[2] + nez,
-                ].add(Ae[a, :, b, :])
-    return A
+                o = offset_index(ob[0] - oax, ob[1] - oay, ob[2] - oaz)
+                # row x reads element x - oax -> local plane r + 1 - oax;
+                # row y reads padded element y - oay + 1 -> slice start
+                # 1 - oay of the (ny+1)-long padded element dim
+                contrib = Ae[
+                    a, :, b, :,
+                    1 - oax:1 - oax + nb,
+                    1 - oay:1 - oay + ny,
+                    1 - oaz:1 - oaz + nz,
+                ]
+                parts[o] = contrib if parts[o] is None else parts[o] + contrib
+        slabs.append(jnp.stack(parts, axis=0))  # (27,3,3,nb,ny,nz)
+    return jnp.concatenate(slabs, axis=3)
 
 
 def assemble_stencil(
