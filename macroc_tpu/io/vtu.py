@@ -124,9 +124,16 @@ def write_pvtu(
     wg: float,
     outdir: str = ".",
     encoding: str = "ascii",  # "ascii" (reference-compatible) | "binary"
+    reduced: bool = False,
 ) -> str:
     """Write <prefix>.pvtu + one .vtu piece per logical rank; returns the
-    pvtu path."""
+    pvtu path.
+
+    With ``reduced=True`` the stress/strain/cost/non_linear inputs are
+    already element-level — GP-summed with the reference's quirky weights
+    (output.c:185,211-253) — letting callers do the 8x reduction on device
+    before the host transfer (driver.py does this: 8x less HBM->host
+    traffic at production sizes)."""
     os.makedirs(outdir, exist_ok=True)
     u = np.asarray(u, dtype=np.float64)
     stress = np.asarray(stress, dtype=np.float64)
@@ -141,12 +148,16 @@ def write_pvtu(
             fp.write(f'  <Piece Source="{prefix}-subdo-{r}.vtu"/>\n')
         fp.write("</PUnstructuredGrid>\n</VTKFile>\n")
 
-    # element-level derived fields (reference quirk: *wg sum over GPs,
-    # output.c:211-253; cost averaged over NGP, output.c:185)
-    el_strain = strain.sum(axis=3) * wg
-    el_stress = stress.sum(axis=3) * wg
-    el_cost = cost.sum(axis=3) / 8.0
-    el_nl = non_linear.astype(np.int64).sum(axis=3)
+    if reduced:
+        el_strain, el_stress, el_cost = strain, stress, cost
+        el_nl = non_linear.astype(np.int64)
+    else:
+        # element-level derived fields (reference quirk: *wg sum over GPs,
+        # output.c:211-253; cost averaged over NGP, output.c:185)
+        el_strain = strain.sum(axis=3) * wg
+        el_stress = stress.sum(axis=3) * wg
+        el_cost = cost.sum(axis=3) / 8.0
+        el_nl = non_linear.astype(np.int64).sum(axis=3)
 
     for r in range(grid.nproc):
         b = grid.local_box(r)

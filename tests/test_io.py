@@ -72,6 +72,35 @@ def test_vtu_pvtu_structure(tmp_path):
         assert max(ids) < b.nx_ghost * b.ny_ghost * b.nz_ghost
 
 
+def test_vtu_reduced_matches_unreduced(tmp_path):
+    """reduced=True (element-level inputs, device-side GP reduction in the
+    driver) must produce byte-identical pieces to the per-GP path."""
+    rng = np.random.default_rng(7)
+    grid = StructuredGrid3D(4, 3, 3, 3.0, 2.0, 2.0, procs=(2, 1, 1))
+    u = rng.normal(size=(4, 3, 3, 3))
+    stress = rng.normal(size=(3, 2, 2, 8, 6))
+    strain = rng.normal(size=(3, 2, 2, 8, 6))
+    nl = rng.integers(0, 2, size=(3, 2, 2, 8)).astype(bool)
+    cost = rng.uniform(size=(3, 2, 2, 8))
+    wg = grid.wg
+
+    d1, d2 = str(tmp_path / "gp"), str(tmp_path / "el")
+    write_pvtu("s", grid, u, stress, strain, nl, cost, wg, outdir=d1)
+    write_pvtu(
+        "s", grid, u,
+        stress.sum(axis=3) * wg,
+        strain.sum(axis=3) * wg,
+        nl.astype(np.int64).sum(axis=3),
+        cost.sum(axis=3) / 8.0,
+        wg, outdir=d2, reduced=True,
+    )
+    for r in range(grid.nproc):
+        f = f"s-subdo-{r}.vtu"
+        assert open(os.path.join(d1, f)).read() == open(
+            os.path.join(d2, f)
+        ).read()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     d = str(tmp_path / "ck")
     tree = (jnp.arange(12.0).reshape(3, 4), {"a": jnp.ones((2, 2))})
