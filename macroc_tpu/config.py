@@ -86,15 +86,23 @@ class MacroConfig:
     # Linear solver — src/init.c:146-157
     ksp_type: str = "cg"  # {"cg", "gmres"}
     # Preconditioner.  "auto" resolves per grid: geometric-multigrid V-cycle
-    # when every extent supports a deep hierarchy (min extent >= 17, where MG
-    # measures a flat ~6-7 CG its vs Jacobi's O(n) growth), plain Jacobi
-    # otherwise (the reference's fixed choice, src/init.c:155).
+    # when at least two extents support a deep hierarchy (>= 17, where MG
+    # measures a flat ~6-9 CG its vs Jacobi's O(n) growth) — thin dims are
+    # SEMICOARSENED (kept fixed), covering the reference's ny=3 pancake
+    # shapes — plain Jacobi otherwise (the reference's fixed choice,
+    # src/init.c:155).
     pc_type: str = "auto"  # {"auto", "none", "jacobi", "bjacobi", "mg"}
     ksp_rtol: float = 1.0e-5
     ksp_abstol: float = 1.0e-50
     ksp_dtol: float = 1.0e4
     ksp_maxits: int = 10000
     gmres_restart: int = 30
+    # Runtime KSP monitors (PETSc -ksp_monitor / -ksp_converged_reason,
+    # forwarded by the reference via KSPSetFromOptions, src/init.c:156):
+    # per-iteration residual-norm lines and a per-solve convergence-reason
+    # line in PETSc's output format.
+    ksp_monitor: bool = False
+    ksp_converged_reason: bool = False
     # Geometric-MG V-cycle shape (pc_type=mg): pre/post smoothing sweeps,
     # damped-block-Jacobi weight, coarsest-level sweep count.  V(1,1) with
     # 10 coarse sweeps measured fastest end-to-end at 128^3 on v5e
@@ -288,6 +296,12 @@ def parse_cli(argv: Sequence[str], base: Optional[MacroConfig] = None) -> MacroC
         elif tok == "-ref_b_quirk" and nxt is not None:
             cfg["ref_b_quirk"] = nxt.lower() in ("1", "true", "yes")
             i += 2
+        elif tok == "-ksp_monitor":
+            cfg["ksp_monitor"] = True
+            i += 1
+        elif tok == "-ksp_converged_reason":
+            cfg["ksp_converged_reason"] = True
+            i += 1
         elif tok == "-resume":
             cfg["resume"] = True
             i += 1

@@ -22,6 +22,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from macroc_tpu.config import BC_BENDING, BC_CIRCLE, MacroConfig
@@ -61,22 +62,30 @@ class Simulation:
             )
         self._log = log
 
-        def _vtu_fields(u, diag):
-            """Device-side GP->element reduction for VTU output (the
-            reference's *wg sum / /NGP average, output.c:185,211-253) —
-            8x less device->host traffic than shipping per-GP arrays."""
-            u_real = self.problem.unpad_u(u)
-            strain = compute_strains(u_real, self.problem.B)
-            wg = self.grid.wg
-            return (
-                u_real,
-                diag.stress.sum(axis=3) * wg,
-                strain.sum(axis=3) * wg,
-                diag.cost.sum(axis=3) / 8.0,
-                diag.non_linear.astype(np.int32).sum(axis=3),
-            )
+        self._vtu_fields_jit = jax.jit(self.vtu_fields)
+        self._nl_el_jit = jax.jit(
+            lambda nl: nl.astype(jnp.int32).sum(axis=3)
+        )
 
-        self._vtu_fields_jit = jax.jit(_vtu_fields)
+    def vtu_fields(self, u, diag):
+        """Device-side GP->element reduction for VTU output (the
+        reference's *wg sum / /NGP average, output.c:185,211-253) —
+        8x less device->host traffic than shipping per-GP arrays.
+
+        Sums accumulate in float64 (where enabled) to preserve the
+        precision of the previous host-side np.float64 reduction in the
+        ASCII %e output."""
+        u_real = self.problem.unpad_u(u)
+        strain = compute_strains(u_real, self.problem.B)
+        wg = self.grid.wg
+        f64 = jnp.float64
+        return (
+            u_real,
+            diag.stress.astype(f64).sum(axis=3) * wg,
+            strain.astype(f64).sum(axis=3) * wg,
+            diag.cost.astype(f64).sum(axis=3) / 8.0,
+            diag.non_linear.astype(jnp.int32).sum(axis=3),
+        )
 
     # ------------------------------------------------------------------ #
     def log_banner(self):
@@ -180,19 +189,40 @@ class Simulation:
             ksp_rnorms = np.asarray(diag.ksp_rnorms)
             nhom = int(diag.n_homogenize)
             nsolv = int(diag.n_solves)
+            ksp_reasons = np.asarray(diag.ksp_reasons)
             for it in range(nhom):
                 L(f"\nNewton Iteration = {it}\n")
                 L("Homogenizing MicroPP\n")
                 L("Assemblying RHS\n")
                 L(f"|RES| = {res_norms[it]:e}\n")
                 if it < nsolv:
+                    if cfg.ksp_monitor and diag.ksp_traces is not None:
+                        # PETSc -ksp_monitor line format
+                        tr = np.asarray(diag.ksp_traces[it])
+                        for k in range(int(ksp_its[it]) + 1):
+                            L(f"{k:3d} KSP Residual norm {tr[k]:14.12e}\n")
                     L(
                         f"KSP : |Ax - b|/|Ax| = {ksp_rnorms[it]:e}\t"
                         f"Its = {ksp_its[it]}\n"
                     )
+                    if cfg.ksp_converged_reason:
+                        # PETSc -ksp_converged_reason line format
+                        from macroc_tpu.solve.cg import KSP_REASON_NAMES
 
-            nl = _host(diag.non_linear)
-            per_rank = per_rank_nonlinear_counts(nl, self.grid)
+                        rc = int(ksp_reasons[it])
+                        name = KSP_REASON_NAMES.get(rc, str(rc))
+                        verdict = (
+                            "converged" if rc > 0 else "did not converge"
+                        )
+                        L(
+                            f"Linear solve {verdict} due to {name} "
+                            f"iterations {ksp_its[it]}\n"
+                        )
+
+            # gather the ELEMENT-level counts (GP sum on device — the
+            # per-rank totals are preserved), not the 8x larger per-GP flags
+            nl_el = _host(self._nl_el_jit(diag.non_linear))
+            per_rank = per_rank_nonlinear_counts(nl_el, self.grid)
             nl_gps = int(per_rank.sum())
             L(f"Non-Linear Gauss points : {nl_gps}\n")
             force = float(diag.force)

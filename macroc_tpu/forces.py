@@ -61,8 +61,11 @@ def per_rank_nonlinear_counts(
 ) -> np.ndarray:
     """Per-rank non-linear GP counts for the gauss_evolution.dat row
     (reference: util.c:69-87 gathers per-rank MicroPP counts).  Computed by
-    slicing the global per-GP flag array with each rank's owned-element box —
-    reproduces the reference's per-rank columns for the same decomposition."""
+    slicing the global array with each rank's owned-element box — accepts
+    either per-GP flags (nex,ney,nez,8) or element-level counts
+    (nex,ney,nez); the rank totals are identical since the GP sum commutes
+    with the box slicing.  Reproduces the reference's per-rank columns for
+    the same decomposition."""
     non_linear = np.asarray(non_linear)
     counts = np.zeros(grid.nproc, dtype=np.int64)
     for r in range(grid.nproc):

@@ -37,7 +37,8 @@ def _split_counts(n_nodes: int, n_parts: int) -> List[int]:
 
 
 def decide_processor_grid(
-    nproc: int, nx: int, ny: int, nz: int
+    nproc: int, nx: int, ny: int, nz: int,
+    fixed: Tuple[Optional[int], Optional[int], Optional[int]] = (None,) * 3,
 ) -> Tuple[int, int, int]:
     """Choose (px, py, pz) with px*py*pz == nproc (PETSC_DECIDE equivalent).
 
@@ -47,17 +48,24 @@ def decide_processor_grid(
     surface area of a subdomain, which is both what load balance wants and
     what minimizes ICI traffic.  Triples where a direction would get more
     ranks than nodes are rejected (DMDA errors in that case too).
+
+    ``fixed`` pins individual axes: a reference launch line may set any
+    subset of -da_processors_{x,y,z} and DMDA decides the remaining axes
+    (src/init.c:93 DMSetFromOptions semantics).
     """
+    fx, fy, fz = fixed
     best: Optional[Tuple[int, int, int]] = None
     best_cost = math.inf
     for px in range(1, nproc + 1):
-        if nproc % px:
+        if nproc % px or (fx is not None and px != fx):
             continue
         rest = nproc // px
         for py in range(1, rest + 1):
-            if rest % py:
+            if rest % py or (fy is not None and py != fy):
                 continue
             pz = rest // py
+            if fz is not None and pz != fz:
+                continue
             if px > nx or py > ny or pz > nz:
                 continue
             # per-subdomain extents (worst case = ceil)
@@ -78,6 +86,8 @@ def decide_processor_grid(
     if best is None:
         raise ValueError(
             f"cannot decompose grid {nx}x{ny}x{nz} over {nproc} devices"
+            + (f" with pinned axes {fixed}" if any(
+                v is not None for v in fixed) else "")
         )
     return best
 
@@ -234,8 +244,12 @@ def make_grid(cfg, n_devices: int = 1) -> StructuredGrid3D:
     DMDACreate3d with PETSC_DECIDE (reference: src/init.c:85-90)."""
     px, py, pz = cfg.procs_x, cfg.procs_y, cfg.procs_z
     if px is None or py is None or pz is None:
-        dpx, dpy, dpz = decide_processor_grid(n_devices, cfg.nx, cfg.ny, cfg.nz)
-        px, py, pz = px or dpx, py or dpy, pz or dpz
+        # any pinned -da_processors_* axes are honored; the remaining axes
+        # are decided under the product constraint (DMSetFromOptions
+        # semantics, src/init.c:93)
+        px, py, pz = decide_processor_grid(
+            n_devices, cfg.nx, cfg.ny, cfg.nz, fixed=(px, py, pz)
+        )
     if px * py * pz != n_devices:
         raise ValueError(
             f"processor grid {px}x{py}x{pz} != device count {n_devices}"

@@ -55,6 +55,7 @@ class StepDiagnostics:
     res_norms: jax.Array    # (max_its+1,) |RES| per Newton iteration (nan-padded)
     ksp_its: jax.Array      # (max_its,)   KSP iteration counts per solve
     ksp_rnorms: jax.Array   # (max_its,)   KSP final residual norms
+    ksp_reasons: jax.Array  # (max_its,)   KSPConvergedReason per solve
     n_homogenize: jax.Array  # ()          number of homogenize calls
     n_solves: jax.Array     # ()           number of linear solves
     converged: jax.Array    # ()           bool
@@ -65,6 +66,9 @@ class StepDiagnostics:
     stress: jax.Array       # (nex,ney,nez,8,6) committed per-GP stress
     micro_unconverged: jax.Array  # () total RVE solves that hit the micro
     # Newton cap above tolerance this step (0 for closed-form engines)
+    # (max_its, ksp_maxits+1) per-solve residual-norm histories, only when
+    # cfg.ksp_monitor (PETSc -ksp_monitor); None otherwise
+    ksp_traces: Optional[jax.Array] = None
 
 
 class MacroProblem:
@@ -184,13 +188,17 @@ class MacroProblem:
         local_nz = self.node_shape[2] // self.grid.procs[2]
         pc_type = cfg.pc_type
         if pc_type == "auto":
-            # MG V-cycle needs a deep hierarchy to pay off; below ~17 per
-            # extent the Jacobi-CG iteration count is small anyway.  The
-            # matfree operator has no assembled stencil to build a
-            # hierarchy from — always Jacobi there.
+            # MG pays off when a deep hierarchy exists along at least two
+            # dims (>= ~17 extent); the third may be thin — SEMICOARSENED
+            # V-cycles cover the reference's own pancake shapes (default
+            # 40x3x40, production 50x3x50, macroc.h:44-46 /
+            # scripts/launch_jobs.sh:13), which previously fell back to
+            # Jacobi.  The matfree operator has no assembled stencil to
+            # build a hierarchy from — always Jacobi there.
+            deep_dims = sum(n >= 17 for n in self.node_shape)
             pc_type = (
                 "mg"
-                if min(self.node_shape) >= 17 and cfg.operator != "matfree"
+                if deep_dims >= 2 and cfg.operator != "matfree"
                 else "jacobi"
             )
         if operator == "auto":
@@ -294,6 +302,7 @@ class MacroProblem:
                 abstol=cfg.ksp_abstol,
                 dtol=cfg.ksp_dtol,
                 maxits=cfg.ksp_maxits,
+                record_trace=cfg.ksp_maxits + 1 if cfg.ksp_monitor else 0,
             )
             b_soa = x_to_soa(b)
             if cfg.ksp_type == "cg":
@@ -322,6 +331,7 @@ class MacroProblem:
             abstol=cfg.ksp_abstol,
             dtol=cfg.ksp_dtol,
             maxits=cfg.ksp_maxits,
+            record_trace=cfg.ksp_maxits + 1 if cfg.ksp_monitor else 0,
         )
         if cfg.ksp_type == "cg":
             return cg_solve(mv, b, M, **common)
@@ -359,7 +369,12 @@ class MacroProblem:
             res_norms=jnp.full((max_its + 1,), jnp.nan, dtype),
             ksp_its=jnp.zeros((max_its,), jnp.int32),
             ksp_rnorms=jnp.full((max_its,), jnp.nan, dtype),
+            ksp_reasons=jnp.zeros((max_its,), jnp.int32),
         )
+        if cfg.ksp_monitor:
+            carry0["ksp_traces"] = jnp.full(
+                (max_its, cfg.ksp_maxits + 1), jnp.nan, dtype
+            )
 
         def cond(c):
             return jnp.logical_and(~c["done"], c["it"] < max_its)
@@ -384,20 +399,31 @@ class MacroProblem:
                 # padded (inactive) elements contribute zero stiffness
                 ctan = self._crop_gp(hom.ctan * emask[..., None, None])
                 res = self.linear_solve(ctan, b)
-                return c["u"] + res.x, res.its, res.rnorm
+                return c["u"] + res.x, res.its, res.rnorm, res.reason, res.trace
 
             def no_solve(_):
-                return c["u"], jnp.int32(0), jnp.asarray(jnp.nan, dtype)
+                trace = (
+                    jnp.full((cfg.ksp_maxits + 1,), jnp.nan, dtype)
+                    if cfg.ksp_monitor
+                    else None
+                )
+                return (c["u"], jnp.int32(0), jnp.asarray(jnp.nan, dtype),
+                        jnp.int32(0), trace)
 
-            u_new, kits, krnorm = jax.lax.cond(conv, no_solve, do_solve, None)
+            u_new, kits, krnorm, kreason, ktrace = jax.lax.cond(
+                conv, no_solve, do_solve, None
+            )
             ksp_its = c["ksp_its"].at[c["it"]].set(
                 jnp.where(conv, c["ksp_its"][c["it"]], kits)
             )
             ksp_rnorms = c["ksp_rnorms"].at[c["it"]].set(
                 jnp.where(conv, c["ksp_rnorms"][c["it"]], krnorm)
             )
+            ksp_reasons = c["ksp_reasons"].at[c["it"]].set(
+                jnp.where(conv, c["ksp_reasons"][c["it"]], kreason)
+            )
             it = jnp.where(conv, c["it"], c["it"] + 1)
-            return dict(
+            out = dict(
                 u=u_new,
                 trial=hom.trial_state,
                 stress=hom.stress * emask[..., None],
@@ -412,7 +438,13 @@ class MacroProblem:
                 res_norms=res_norms,
                 ksp_its=ksp_its,
                 ksp_rnorms=ksp_rnorms,
+                ksp_reasons=ksp_reasons,
             )
+            if cfg.ksp_monitor:
+                out["ksp_traces"] = c["ksp_traces"].at[c["it"]].set(
+                    jnp.where(conv, c["ksp_traces"][c["it"]], ktrace)
+                )
+            return out
 
         c = jax.lax.while_loop(cond, body, carry0)
 
@@ -424,6 +456,8 @@ class MacroProblem:
             res_norms=c["res_norms"],
             ksp_its=c["ksp_its"],
             ksp_rnorms=c["ksp_rnorms"],
+            ksp_reasons=c["ksp_reasons"],
+            ksp_traces=c.get("ksp_traces"),
             n_homogenize=c["nhom"],
             n_solves=c["it"],
             converged=c["done"],

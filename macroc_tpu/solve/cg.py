@@ -35,11 +35,23 @@ KSP_DIVERGED_ITS = -3
 KSP_DIVERGED_DTOL = -4
 
 
+#: KSPConvergedReason value -> PETSc enum name (for -ksp_converged_reason)
+KSP_REASON_NAMES = {
+    2: "CONVERGED_RTOL",
+    3: "CONVERGED_ATOL",
+    -3: "DIVERGED_ITS",
+    -4: "DIVERGED_DTOL",
+}
+
+
 class KSPResult(NamedTuple):
     x: jax.Array
     its: jax.Array      # iteration count (int32)
     rnorm: jax.Array    # final monitored residual norm
     reason: jax.Array   # KSPConvergedReason (int32)
+    # per-iteration residual-norm history (record_trace entries, nan-padded;
+    # index 0 = rnorm0) — populated only when requested (-ksp_monitor)
+    trace: jax.Array | None = None
 
 
 def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -56,9 +68,14 @@ def cg_solve(
     dtol: float = 1.0e4,
     maxits: int = 10000,
     norm_type: str = "preconditioned",
+    record_trace: int = 0,
 ) -> KSPResult:
     """Solve A x = b by PCG.  b is any array; matvec/precond map like-shaped
-    arrays.  Returns a KSPResult whose fields are traced scalars."""
+    arrays.  Returns a KSPResult whose fields are traced scalars.
+
+    ``record_trace`` > 0 additionally records the monitored residual norm
+    of every iteration into KSPResult.trace (shape (record_trace,), nan-
+    padded) — the data behind PETSc's -ksp_monitor output."""
     if precond is None:
         precond = lambda r: r
     use_pnorm = norm_type == "preconditioned"
@@ -77,12 +94,16 @@ def cg_solve(
         0,
     ).astype(jnp.int32)
 
+    trace0 = None
+    if record_trace:
+        trace0 = jnp.full((record_trace,), jnp.nan, b.dtype).at[0].set(rnorm0)
+
     def cond(carry):
-        _, _, _, _, _, its, _, reason = carry
+        reason, its = carry[7], carry[5]
         return jnp.logical_and(reason == 0, its < maxits)
 
     def body(carry):
-        x, r, z, p, rz, its, rnorm, reason = carry
+        x, r, z, p, rz, its, rnorm, reason, trace = carry
         q = matvec(p)
         alpha = rz / _dot(p, q)
         x = x + alpha * p
@@ -98,11 +119,15 @@ def cg_solve(
             jnp.where(rnorm <= abstol, KSP_CONVERGED_ATOL, KSP_CONVERGED_RTOL),
             jnp.where(rnorm >= dtol * rnorm0, KSP_DIVERGED_DTOL, 0),
         ).astype(jnp.int32)
-        return (x, r, z, p, rz_new, its, rnorm, new_reason)
+        if trace is not None:
+            trace = trace.at[jnp.minimum(its, record_trace - 1)].set(rnorm)
+        return (x, r, z, p, rz_new, its, rnorm, new_reason, trace)
 
-    init = (x0, r0, z0, z0, rz0, jnp.int32(0), rnorm0, reason0)
-    x, r, z, p, rz, its, rnorm, reason = jax.lax.while_loop(cond, body, init)
+    init = (x0, r0, z0, z0, rz0, jnp.int32(0), rnorm0, reason0, trace0)
+    x, r, z, p, rz, its, rnorm, reason, trace = jax.lax.while_loop(
+        cond, body, init
+    )
     reason = jnp.where(
         jnp.logical_and(reason == 0, its >= maxits), KSP_DIVERGED_ITS, reason
     ).astype(jnp.int32)
-    return KSPResult(x=x, its=its, rnorm=rnorm, reason=reason)
+    return KSPResult(x=x, its=its, rnorm=rnorm, reason=reason, trace=trace)

@@ -39,7 +39,10 @@ def gmres_solve(
     dtol: float = 1.0e4,
     maxits: int = 10000,
     restart: int = 30,
+    record_trace: int = 0,
 ) -> KSPResult:
+    """``record_trace`` > 0 records per-iteration residual norms into
+    KSPResult.trace (see cg_solve) — the -ksp_monitor data."""
     if precond is None:
         precond = lambda r: r
 
@@ -65,9 +68,12 @@ def gmres_solve(
     ).astype(jnp.int32)
 
     tiny = jnp.asarray(1e-30, dtype)
+    trace0 = None
+    if record_trace:
+        trace0 = jnp.full((record_trace,), jnp.nan, dtype).at[0].set(rnorm0)
 
     def cycle(carry):
-        x, its, rnorm, reason = carry
+        x, its, rnorm, reason, trace = carry
         # residual of current iterate, preconditioned
         r = M(b_flat - A(x))
         beta = jnp.linalg.norm(r)
@@ -80,7 +86,7 @@ def gmres_solve(
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
 
         def arnoldi(j, st):
-            Vm, H, cs, sn, g, its, rnorm, reason = st
+            Vm, H, cs, sn, g, its, rnorm, reason, trace = st
             active = reason == 0
 
             w = M(A(Vm[j]))
@@ -135,10 +141,15 @@ def gmres_solve(
             its = jnp.where(active, its + 1, its)
             rnorm = jnp.where(active, new_rnorm, rnorm)
             reason = jnp.where(active, new_reason, reason)
-            return (Vm, H, cs, sn, g, its, rnorm, reason)
+            if trace is not None:
+                idx = jnp.minimum(its, record_trace - 1)
+                trace = jnp.where(
+                    active, trace.at[idx].set(new_rnorm), trace
+                )
+            return (Vm, H, cs, sn, g, its, rnorm, reason, trace)
 
-        Vm, H, cs, sn, g, its, rnorm, reason = jax.lax.fori_loop(
-            0, m, arnoldi, (Vm, H, cs, sn, g, its, rnorm, reason)
+        Vm, H, cs, sn, g, its, rnorm, reason, trace = jax.lax.fori_loop(
+            0, m, arnoldi, (Vm, H, cs, sn, g, its, rnorm, reason, trace)
         )
 
         # back-substitution on the full m x m triangular system; columns that
@@ -151,14 +162,16 @@ def gmres_solve(
             Hsafe, jnp.where(ran, g[:m], 0.0), lower=False
         )
         x = x + Vm[:m].T @ y
-        return (x, its, rnorm, reason)
+        return (x, its, rnorm, reason, trace)
 
     def cond(carry):
-        _, its, _, reason = carry
+        _, its, _, reason, _ = carry
         return jnp.logical_and(reason == 0, its < maxits)
 
     x0 = jnp.zeros((N,), dtype)
-    x, its, rnorm, reason = jax.lax.while_loop(
-        cond, cycle, (x0, jnp.int32(0), rnorm0, reason0)
+    x, its, rnorm, reason, trace = jax.lax.while_loop(
+        cond, cycle, (x0, jnp.int32(0), rnorm0, reason0, trace0)
     )
-    return KSPResult(x=x.reshape(shape), its=its, rnorm=rnorm, reason=reason)
+    return KSPResult(
+        x=x.reshape(shape), its=its, rnorm=rnorm, reason=reason, trace=trace
+    )

@@ -46,6 +46,12 @@ CONFIGS = {
         ts=4, dt=0.05, dtype="float64",
     ),
     "default_grid_smoke": MacroConfig(ts=2, dtype="float64"),
+    # runtime-switchable KSP: -ksp_type gmres through the full Newton path
+    # (reference KSPSetFromOptions, src/init.c:156)
+    "gmres_circle_9x3x9": MacroConfig(
+        nx=9, ny=3, nz=9, lx=10.0, ly=1.0, lz=10.0, bc_type=1, rad=2.0,
+        ts=3, dt=0.05, ksp_type="gmres", dtype="float64",
+    ),
     # a reference launch line with -micro_mat_2 != mat_1: constitutive
     # "auto" must route to the micro-FE engine (true FE^2 physics) with no
     # extra flags (reference always runs MicroPP, src/init.c:195-216)
