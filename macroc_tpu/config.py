@@ -133,7 +133,9 @@ class MacroConfig:
     output_dir: str = "."
     # VTU payload encoding: "ascii" matches the reference byte-for-byte
     # (src/output.c); "binary" is VTK inline base64 (~4x smaller, ~20x
-    # faster to write); "auto" = binary for grids > 100k nodes.
+    # faster to write); "appended" is VTK appended-raw (bytes land as one
+    # write per array — the production default); "auto" = appended for
+    # grids > 100k nodes.
     vtu_encoding: str = "auto"
 
     # Device decomposition — reference -da_processors_{x,y,z} (README.md:52-54).

@@ -67,6 +67,52 @@ class Simulation:
             lambda nl: nl.astype(jnp.int32).sum(axis=3)
         )
 
+        # multi-process: VTU pieces are written from per-process ghosted
+        # patches (io/parallel_vtu.py), never from a global gather
+        self._vtu_parallel = (
+            jax.process_count() > 1 and self.grid.nproc > 1
+        )
+        if self._vtu_parallel:
+            from macroc_tpu.io.parallel_vtu import assign_pieces, halo_widths
+
+            self._vtu_halo = halo_widths(self.grid, self.problem.node_shape)
+            assignment = assign_pieces(
+                self.grid, self.problem.node_shape, self._vtu_halo,
+                self.problem.mesh,
+            )
+            pid = jax.process_index()
+            self._vtu_my_pieces = sorted(
+                r for r, p in assignment.items() if p == pid
+            )
+            self._vtu_ghosted_jit = jax.jit(self._vtu_ghosted_fields)
+
+    def _vtu_ghosted_fields(self, u, diag):
+        """Padded-shape VTU fields, each re-laid-out as halo-extended
+        per-device blocks (the PETSc local-ghosted-vector layout) so every
+        process can write its pieces from addressable data only."""
+        from macroc_tpu.parallel.halo import ghosted_blocks
+
+        ns = self.problem.node_shape
+        f64 = jnp.float64
+
+        def pad_el(a):
+            pads = [(0, ns[d] - a.shape[d]) for d in range(3)] + [
+                (0, 0)
+            ] * (a.ndim - 3)
+            return jnp.pad(a, pads)
+
+        strain = compute_strains(u, self.problem.B)  # padded-elem shape
+        fields = (
+            u,
+            pad_el(diag.stress.astype(f64).sum(axis=3) * self.grid.wg),
+            pad_el(strain.astype(f64).sum(axis=3) * self.grid.wg),
+            pad_el(diag.cost.astype(f64).sum(axis=3) / 8.0),
+            pad_el(diag.non_linear.astype(jnp.int64).sum(axis=3)),
+        )
+        return ghosted_blocks(
+            self.problem.mesh, fields, halo=self._vtu_halo
+        )
+
     def vtu_fields(self, u, diag):
         """Device-side GP->element reduction for VTU output (the
         reference's *wg sum / /NGP average, output.c:185,211-253) —
@@ -123,6 +169,57 @@ class Simulation:
             )
 
     # ------------------------------------------------------------------ #
+    def _write_vtu(self, time_s, u, diag, vtu_encoding):
+        prefix = f"solution_{time_s}"
+        cfg = self.cfg
+        if self._vtu_parallel:
+            # each process writes the pieces its ghosted patch covers, from
+            # ADDRESSABLE shards only (reference output.c:78-79 semantics:
+            # concurrent per-rank writes, no global array anywhere)
+            from macroc_tpu.io.parallel_vtu import extract_patch
+            from macroc_tpu.io.vtu import OffsetView
+
+            stacked = self._vtu_ghosted_jit(u, diag)
+            origin, patches = extract_patch(
+                stacked, self.problem.node_shape, self._vtu_halo,
+                self.grid.procs,
+            )
+            views = [OffsetView(p, origin) for p in patches]
+            write_pvtu(
+                prefix, self.grid,
+                views[0], views[1], views[2], views[4], views[3],
+                self.grid.wg,
+                outdir=cfg.output_dir,
+                encoding=vtu_encoding,
+                reduced=True,
+                ranks=self._vtu_my_pieces,
+                write_master=self.primary,
+            )
+            if os.environ.get("MACROC_DEBUG_IO"):
+                import sys
+
+                print(
+                    f"[macroc] process {jax.process_index()} wrote vtu "
+                    f"pieces {self._vtu_my_pieces}",
+                    file=sys.stderr, flush=True,
+                )
+            return
+        # single-process: arrays are fully addressable — _host() is a
+        # device->host copy, not a gather
+        u_real, el_stress, el_strain, el_cost, el_nl = (
+            self._vtu_fields_jit(u, diag)
+        )
+        write_pvtu(
+            prefix, self.grid,
+            _host(u_real), _host(el_stress), _host(el_strain),
+            _host(el_nl), _host(el_cost),
+            self.grid.wg,
+            outdir=cfg.output_dir,
+            encoding=vtu_encoding,
+            reduced=True,
+        )
+
+    # ------------------------------------------------------------------ #
     def run(self) -> dict:
         cfg = self.cfg
         L = self._log
@@ -134,13 +231,6 @@ class Simulation:
         )
 
         u, state = self.problem.init_fields()
-        start_step = 0
-        if cfg.resume:
-            loaded = ckpt.load_latest(cfg.checkpoint_dir, (u, state))
-            if loaded is not None:
-                start_step, (u, state) = loaded
-                L(f"Resumed from checkpoint at step {start_step}\n")
-
         if self.grid.nproc > 1:
             # lay the fields out over the device mesh (P('x','y','z'));
             # every kernel in time_step then runs SPMD-partitioned
@@ -148,6 +238,15 @@ class Simulation:
 
             u, state = jax.tree.map(np.asarray, (u, state))
             u, state = shard_problem_fields(self.problem.mesh, u, state)
+
+        start_step = 0
+        if cfg.resume:
+            # fields are already sharded: each process restores ONLY the
+            # shard slices its devices address (checkpoint.py reader)
+            loaded = ckpt.load_latest(cfg.checkpoint_dir, (u, state))
+            if loaded is not None:
+                start_step, (u, state) = loaded
+                L(f"Resumed from checkpoint at step {start_step}\n")
 
         class _Null:
             write_row = staticmethod(lambda *a, **k: None)
@@ -167,7 +266,10 @@ class Simulation:
 
         vtu_encoding = cfg.vtu_encoding
         if vtu_encoding == "auto":
-            vtu_encoding = "binary" if self.grid.nnodes > 100_000 else "ascii"
+            # appended-raw for big grids: bytes land as one write per array
+            vtu_encoding = (
+                "appended" if self.grid.nnodes > 100_000 else "ascii"
+            )
 
         timer = PhaseTimer()
         t1 = time.time()
@@ -253,38 +355,12 @@ class Simulation:
 
             if cfg.vtu_freq > 0 and time_s % cfg.vtu_freq == 0:
                 with timer.phase("vtu_output"):
-                    # GP->element reduction ON DEVICE (the reference's *wg
-                    # sum / /NGP average, output.c:185,211-253) so the host
-                    # gather moves 8x less data at production sizes
-                    u_real, el_stress, el_strain, el_cost, el_nl = (
-                        self._vtu_fields_jit(u, diag)
-                    )
-                    if self.primary:
-                        write_pvtu(
-                            f"solution_{time_s}",
-                            self.grid,
-                            _host(u_real),
-                            _host(el_stress),
-                            _host(el_strain),
-                            _host(el_nl),
-                            _host(el_cost),
-                            self.grid.wg,
-                            outdir=cfg.output_dir,
-                            encoding=vtu_encoding,
-                            reduced=True,
-                        )
-                    else:
-                        # non-primary processes still participate in the
-                        # allgathers the primary's _host() calls issue
-                        _host(u_real), _host(el_stress), _host(el_strain)
-                        _host(el_nl), _host(el_cost)
+                    self._write_vtu(time_s, u, diag, vtu_encoding)
 
             if cfg.checkpoint_freq > 0 and (time_s + 1) % cfg.checkpoint_freq == 0:
                 with timer.phase("checkpoint"):
-                    ckpt.save(
-                        cfg.checkpoint_dir, time_s + 1, (u, state),
-                        write=self.primary,
-                    )
+                    # every process writes its own shard file (no gather)
+                    ckpt.save(cfg.checkpoint_dir, time_s + 1, (u, state))
 
         jax.block_until_ready(u)
         profiler.__exit__(None, None, None)

@@ -93,6 +93,48 @@ _VTK_DTYPE = {
 }
 
 
+class OffsetView:
+    """Read-only window into a process-local host patch of a larger global
+    array: slices on the first 3 (spatial) dims use GLOBAL coordinates and
+    are translated by ``origin``.  Lets the piece writers run unchanged on
+    per-process patches (multi-host VTU output without any global gather)."""
+
+    def __init__(self, data: np.ndarray, origin):
+        self.data = data
+        self.origin = tuple(origin)
+        self.ndim = data.ndim
+        self.shape = tuple(
+            o + n for o, n in zip(self.origin + (0,) * 16, data.shape)
+        )
+
+    def __getitem__(self, key):
+        key = key if isinstance(key, tuple) else (key,)
+        out = []
+        for d, k in enumerate(key):
+            if d < 3 and isinstance(k, slice):
+                o = self.origin[d]
+                lo = None if k.start is None else k.start - o
+                hi = None if k.stop is None else k.stop - o
+                if (lo is not None and lo < 0) or (
+                    hi is not None and hi > self.data.shape[d]
+                ):
+                    raise IndexError(
+                        f"piece slice dim {d} [{k.start}:{k.stop}] outside "
+                        f"local patch origin {self.origin} "
+                        f"shape {self.data.shape}"
+                    )
+                out.append(slice(lo, hi, k.step))
+            else:
+                out.append(k)
+        return self.data[tuple(out)]
+
+
+def _cast(a, dtype):
+    if isinstance(a, OffsetView):
+        return OffsetView(np.asarray(a.data, dtype=dtype), a.origin)
+    return np.asarray(a, dtype=dtype)
+
+
 def _b64_block(arr: np.ndarray, vtk_type: str) -> str:
     """VTK XML inline-binary payload: base64(UInt32 byte count + raw LE
     bytes).  ~4x smaller and ~20x faster to write than the %e ASCII tables
@@ -123,8 +165,10 @@ def write_pvtu(
     cost: np.ndarray,         # (nex, ney, nez, 8)
     wg: float,
     outdir: str = ".",
-    encoding: str = "ascii",  # "ascii" (reference-compatible) | "binary"
+    encoding: str = "ascii",  # "ascii" | "binary" (base64) | "appended" (raw)
     reduced: bool = False,
+    ranks=None,
+    write_master: bool = True,
 ) -> str:
     """Write <prefix>.pvtu + one .vtu piece per logical rank; returns the
     pvtu path.
@@ -133,36 +177,55 @@ def write_pvtu(
     already element-level — GP-summed with the reference's quirky weights
     (output.c:185,211-253) — letting callers do the 8x reduction on device
     before the host transfer (driver.py does this: 8x less HBM->host
-    traffic at production sizes)."""
+    traffic at production sizes).
+
+    ``ranks`` restricts which pieces THIS call writes (default: all) and
+    ``write_master`` gates the .pvtu index — together they give the
+    reference's each-rank-writes-its-own-piece concurrency
+    (output.c:78-79): under multi-process the driver assigns each piece to
+    the process whose local patch covers it and only the primary writes the
+    master.  Array arguments may then be ``OffsetView`` patches instead of
+    global arrays.  ``encoding="appended"`` is VTK appended-raw — the bytes
+    hit the file as one memcpy per array, ~20x faster than base64/ascii at
+    production sizes."""
     os.makedirs(outdir, exist_ok=True)
-    u = np.asarray(u, dtype=np.float64)
-    stress = np.asarray(stress, dtype=np.float64)
-    strain = np.asarray(strain, dtype=np.float64)
-    non_linear = np.asarray(non_linear)
-    cost = np.asarray(cost, dtype=np.float64)
+    u = _cast(u, np.float64)
+    stress = _cast(stress, np.float64)
+    strain = _cast(strain, np.float64)
+    cost = _cast(cost, np.float64)
 
     pvtu_path = os.path.join(outdir, f"{prefix}.pvtu")
-    with open(pvtu_path, "w") as fp:
-        fp.write(_PVTU_HEADER)
-        for r in range(grid.nproc):
-            fp.write(f'  <Piece Source="{prefix}-subdo-{r}.vtu"/>\n')
-        fp.write("</PUnstructuredGrid>\n</VTKFile>\n")
+    if write_master:
+        with open(pvtu_path, "w") as fp:
+            fp.write(_PVTU_HEADER)
+            for r in range(grid.nproc):
+                fp.write(f'  <Piece Source="{prefix}-subdo-{r}.vtu"/>\n')
+            fp.write("</PUnstructuredGrid>\n</VTKFile>\n")
 
     if reduced:
         el_strain, el_stress, el_cost = strain, stress, cost
-        el_nl = non_linear.astype(np.int64)
+        el_nl = (
+            non_linear
+            if isinstance(non_linear, OffsetView)
+            else np.asarray(non_linear).astype(np.int64)
+        )
     else:
         # element-level derived fields (reference quirk: *wg sum over GPs,
         # output.c:211-253; cost averaged over NGP, output.c:185)
+        non_linear = np.asarray(non_linear)
         el_strain = strain.sum(axis=3) * wg
         el_stress = stress.sum(axis=3) * wg
         el_cost = cost.sum(axis=3) / 8.0
         el_nl = non_linear.astype(np.int64).sum(axis=3)
 
-    for r in range(grid.nproc):
+    for r in range(grid.nproc) if ranks is None else ranks:
         b = grid.local_box(r)
         piece = os.path.join(outdir, f"{prefix}-subdo-{r}.vtu")
-        if encoding == "binary":
+        if encoding == "appended":
+            _write_piece_appended(
+                piece, grid, b, r, u, el_strain, el_stress, el_nl, el_cost
+            )
+        elif encoding == "binary":
             _write_piece_binary(
                 piece, grid, b, r, u, el_strain, el_stress, el_nl, el_cost
             )
@@ -257,6 +320,62 @@ def _write_piece_binary(path, grid, b, rank, u, el_strain, el_stress,
         w("Float64", "strain", 6, a["strain"])
         w("Float64", "stress", 6, a["stress"])
         fp.write("</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
+def _write_piece_appended(path, grid, b, rank, u, el_strain, el_stress,
+                          el_nl, el_cost):
+    """VTK appended-raw encoding: one <AppendedData encoding="raw"> block,
+    each DataArray referenced by byte offset.  No base64, no text
+    formatting — each array is a UInt32 length header + raw little-endian
+    bytes, so a 128^3 dump is IO-bound instead of CPU-bound (VERDICT r2
+    next #4)."""
+    a = _piece_arrays(grid, b, rank, u, el_strain, el_stress, el_nl, el_cost)
+    arrays = [
+        ("Float64", "Position", 3, a["points"], "points"),
+        ("Int32", "connectivity", 1, a["connectivity"], "cells"),
+        ("Int32", "offsets", 1, a["offsets"], "cells"),
+        ("UInt8", "types", 1, a["types"], "cells"),
+        ("Float64", "displ", 3, a["displ"], "pdata"),
+        ("Int32", "part", 1, a["part"], "cdata"),
+        ("Float64", "cost", 1, a["cost"], "cdata"),
+        ("Int32", "non-linear", 1, a["non_linear"], "cdata"),
+        ("Float64", "strain", 6, a["strain"], "cdata"),
+        ("Float64", "stress", 6, a["stress"], "cdata"),
+    ]
+    blocks, offsets, pos = [], [], 0
+    for vtk_type, _, _, data, _ in arrays:
+        raw = np.ascontiguousarray(data, dtype=_VTK_DTYPE[vtk_type]).tobytes()
+        blocks.append(struct.pack("<I", len(raw)) + raw)
+        offsets.append(pos)
+        pos += 4 + len(raw)
+
+    def da(i):
+        vtk_type, name, ncomp, _, _ = arrays[i]
+        return (
+            f'<DataArray type="{vtk_type}" Name="{name}" '
+            f'NumberOfComponents="{ncomp}" format="appended" '
+            f'offset="{offsets[i]}"/>\n'
+        )
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" version="0.1" '
+        'byte_order="LittleEndian" header_type="UInt32">\n'
+        "<UnstructuredGrid>\n"
+        f'<Piece NumberOfPoints="{a["n_points"]}" '
+        f'NumberOfCells="{a["n_cells"]}">\n'
+        "<Points>\n" + da(0) + "</Points>\n"
+        "<Cells>\n" + da(1) + da(2) + da(3) + "</Cells>\n"
+        '<PointData Vectors="displ">\n' + da(4) + "</PointData>\n"
+        "<CellData>\n" + da(5) + da(6) + da(7) + da(8) + da(9)
+        + "</CellData>\n</Piece>\n</UnstructuredGrid>\n"
+        '<AppendedData encoding="raw">\n_'
+    )
+    with open(path, "wb") as fp:
+        fp.write(xml.encode())
+        for blk in blocks:
+            fp.write(blk)
+        fp.write(b"\n</AppendedData>\n</VTKFile>\n")
 
 
 def _write_piece(path, grid, b, rank, u, el_strain, el_stress, el_nl, el_cost):

@@ -42,12 +42,19 @@ def _axis_size(axis_name: str) -> int:
     return jax.lax.psum(1, axis_name)
 
 
-def exchange_axis(x: jax.Array, axis_name: str, dim: int) -> jax.Array:
-    """Grow `x` by one slab on each side of `dim` with neighbor faces."""
+def exchange_axis(
+    x: jax.Array, axis_name: str, dim: int, width: int = 1
+) -> jax.Array:
+    """Grow `x` by a `width`-node slab on each side of `dim` with neighbor
+    faces (single-hop: width must not exceed the local extent)."""
     n = _axis_size(axis_name)
     L = x.shape[dim]
-    lo = jax.lax.slice_in_dim(x, 0, 1, axis=dim)
-    hi = jax.lax.slice_in_dim(x, L - 1, L, axis=dim)
+    if width > L:
+        raise ValueError(
+            f"halo width {width} exceeds local extent {L} on dim {dim}"
+        )
+    lo = jax.lax.slice_in_dim(x, 0, width, axis=dim)
+    hi = jax.lax.slice_in_dim(x, L - width, L, axis=dim)
     if n == 1:
         zero = jnp.zeros_like(lo)
         return jnp.concatenate([zero, x, zero], axis=dim)
@@ -101,6 +108,43 @@ def halo_fold_add(
     for axis_name, dim in reversed(list(zip(axes, dims))):
         xe = fold_axis_add(xe, axis_name, dim)
     return xe
+
+
+def ghosted_blocks(
+    mesh: Mesh,
+    arrays: Sequence[jax.Array],
+    halo: Tuple[int, int, int] = (1, 1, 1),
+):
+    """DMGlobalToLocal INSERT with configurable halo width: for each input
+    array (spatial dims leading, sharded P('x','y','z')), return a STACKED
+    global array whose mesh-coordinate-(ci,cj,ck) local block is that
+    device's halo-extended shard.
+
+    Input  shape (px*sx, py*sy, pz*sz, ...) ->
+    output shape (px*(sx+2hx), py*(sy+2hy), pz*(sz+2hz), ...), still
+    P('x','y','z'): block (ci,cj,ck) lives at
+    [ci*(sx+2hx):(ci+1)*(sx+2hx), ...] and carries the true values of
+    global region [ci*sx-hx, (ci+1)*sx+hx) (zeros beyond the array).
+
+    This is the PETSc *local (ghosted) vector* layout — the building block
+    for per-process IO: after this one collective, every process can read
+    an owned-plus-halo patch of the global array from purely addressable
+    shards (driver.py's gather-free VTU path; VERDICT r2 next #4)."""
+    n_sp = 3
+    specs = tuple(
+        P(*(("x", "y", "z") + (None,) * (a.ndim - n_sp))) for a in arrays
+    )
+
+    def extend(*xs):
+        out = []
+        for x in xs:
+            for axis_name, dim, w in zip(("x", "y", "z"), range(n_sp), halo):
+                x = exchange_axis(x, axis_name, dim, width=w)
+            out.append(x)
+        return tuple(out)
+
+    f = jax.shard_map(extend, mesh=mesh, in_specs=specs, out_specs=specs)
+    return f(*arrays)
 
 
 def _stencil_on_box(Al, xe, box):

@@ -70,8 +70,9 @@ def test_cli_end_to_end(tmp_path):
         assert (tmp_path / f"solution_{s}-subdo-0.vtu").exists()
     assert not (tmp_path / "solution_1.pvtu").exists()
 
-    # checkpoints at steps 2 and 4
-    assert (ck / "step_2.npz").exists() and (ck / "step_4.npz").exists()
+    # checkpoints at steps 2 and 4 (sharded directory format)
+    assert (ck / "step_2" / "proc_0.npz").exists()
+    assert (ck / "step_4" / "proc_0.npz").exists()
 
     # --- resume: continue 4 -> 6; info.dat stays a complete history ---
     out2 = _run_cli(

@@ -162,3 +162,52 @@ def test_shmap_matvec_overlap_degenerate_mesh():
     y_ref = np.asarray(stencil_matvec_soa(A, x))
     y = np.asarray(shmap_stencil_matvec(mesh, A, x, overlap=True))
     assert np.allclose(y, y_ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("halo", [(1, 1, 1), (2, 1, 3)])
+def test_ghosted_blocks_layout(halo):
+    """ghosted_blocks must produce, per mesh coordinate, the halo-extended
+    window of the global array (zeros beyond the boundary) — the PETSc
+    local-ghosted-vector layout used by gather-free VTU output."""
+    from macroc_tpu.parallel.halo import ghosted_blocks
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    nx, ny, nz = 8, 6, 8
+    a = jnp.asarray(rng.normal(size=(nx, ny, nz, 3)))
+    b = jnp.asarray(rng.normal(size=(nx, ny, nz)))
+    ga, gb = ghosted_blocks(mesh, (a, b), halo=halo)
+
+    s = (nx // 2, ny // 2, nz // 2)
+    ext = tuple(s[d] + 2 * halo[d] for d in range(3))
+    assert ga.shape[:3] == tuple(2 * ext[d] for d in range(3))
+    for arr, g in ((a, ga), (b, gb)):
+        ap = np.pad(
+            np.asarray(arr),
+            [(halo[d], halo[d]) for d in range(3)]
+            + [(0, 0)] * (arr.ndim - 3),
+        )
+        gh = np.asarray(g)
+        for ci in range(2):
+            for cj in range(2):
+                for ck in range(2):
+                    block = gh[
+                        ci * ext[0]:(ci + 1) * ext[0],
+                        cj * ext[1]:(cj + 1) * ext[1],
+                        ck * ext[2]:(ck + 1) * ext[2],
+                    ]
+                    want = ap[
+                        ci * s[0]:ci * s[0] + ext[0],
+                        cj * s[1]:cj * s[1] + ext[1],
+                        ck * s[2]:ck * s[2] + ext[2],
+                    ]
+                    np.testing.assert_array_equal(block, want)
+
+
+def test_exchange_width_exceeding_extent_raises():
+    from macroc_tpu.parallel.halo import ghosted_blocks
+
+    mesh = make_mesh()
+    a = jnp.zeros((8, 8, 8))
+    with pytest.raises(ValueError, match="halo width"):
+        ghosted_blocks(mesh, (a,), halo=(5, 1, 1))

@@ -199,3 +199,110 @@ def test_vtu_binary_roundtrip(tmp_path):
                 want.astype(np.float64),
                 rtol=0, atol=0, err_msg=name,
             )
+
+
+def _vtk_appended_arrays(path):
+    """Parse a VTK appended-raw .vtu: {name: ndarray}."""
+    import struct
+
+    from macroc_tpu.io.vtu import _VTK_DTYPE
+
+    raw = open(path, "rb").read()
+    head, _, tail = raw.partition(b'<AppendedData encoding="raw">')
+    data = tail[tail.index(b"_") + 1:]
+    out = {}
+    root = ET.fromstring(head.decode() + "</VTKFile>")
+    for da in root.iter("DataArray"):
+        off = int(da.get("offset"))
+        (nbytes,) = struct.unpack("<I", data[off:off + 4])
+        arr = np.frombuffer(
+            data[off + 4:off + 4 + nbytes],
+            dtype=_VTK_DTYPE[da.get("type")],
+        )
+        out[da.get("Name")] = arr
+    return out
+
+
+def test_vtu_appended_roundtrip(tmp_path):
+    """encoding='appended' (VTK appended raw — the production default) must
+    carry exactly the arrays the ascii path formats."""
+    from macroc_tpu.io.vtu import _piece_arrays
+
+    rng = np.random.default_rng(11)
+    grid = StructuredGrid3D(nx=5, ny=3, nz=4, lx=4.0, ly=2.0, lz=3.0,
+                            procs=(2, 1, 1))
+    ne = (4, 2, 3)
+    u = rng.normal(size=(5, 3, 4, 3))
+    stress = rng.normal(size=ne + (8, 6))
+    strain = rng.normal(size=ne + (8, 6))
+    nl = rng.random(ne + (8,)) > 0.5
+    cost = rng.random(ne + (8,))
+    path = write_pvtu("app", grid, u, stress, strain, nl, cost, wg=0.125,
+                      outdir=str(tmp_path), encoding="appended")
+    assert os.path.exists(path)
+
+    el_strain = strain.sum(axis=3) * 0.125
+    el_stress = stress.sum(axis=3) * 0.125
+    el_cost = cost.sum(axis=3) / 8.0
+    el_nl = nl.astype(np.int64).sum(axis=3)
+    for r in range(grid.nproc):
+        b = grid.local_box(r)
+        ref = _piece_arrays(grid, b, r, np.asarray(u, np.float64), el_strain,
+                            el_stress, el_nl, el_cost)
+        got = _vtk_appended_arrays(
+            os.path.join(tmp_path, f"app-subdo-{r}.vtu")
+        )
+        for name, key in [("Position", "points"), ("connectivity",
+                          "connectivity"), ("offsets", "offsets"),
+                          ("types", "types"), ("displ", "displ"),
+                          ("part", "part"), ("cost", "cost"),
+                          ("non-linear", "non_linear"),
+                          ("strain", "strain"), ("stress", "stress")]:
+            want = np.asarray(ref[key]).ravel()
+            np.testing.assert_allclose(
+                got[name].astype(np.float64), want.astype(np.float64),
+                rtol=0, atol=0, err_msg=name,
+            )
+
+
+def test_write_pvtu_ranks_subset_and_offset_views(tmp_path):
+    """ranks= + OffsetView patches (the per-process path) must write pieces
+    byte-identical to the global-array path."""
+    from macroc_tpu.io.vtu import OffsetView
+
+    rng = np.random.default_rng(5)
+    grid = StructuredGrid3D(nx=6, ny=3, nz=5, lx=4.0, ly=2.0, lz=3.0,
+                            procs=(2, 1, 2))
+    u = rng.normal(size=(6, 3, 5, 3))
+    ne = (5, 2, 4)
+    el_stress = rng.normal(size=ne + (6,))
+    el_strain = rng.normal(size=ne + (6,))
+    el_nl = rng.integers(0, 9, size=ne)
+    el_cost = rng.normal(size=ne)
+
+    d_all = str(tmp_path / "all")
+    write_pvtu("s", grid, u, el_stress, el_strain, el_nl, el_cost, grid.wg,
+               outdir=d_all, reduced=True)
+
+    # per-"process" emulation: each fake process covers half the grid in x
+    # with a 2-node halo and writes only its pieces
+    d_mp = str(tmp_path / "mp")
+    for fake, (x0, x1, ranks) in enumerate(
+        [(0, 5, [0, 2]), (1, 6, [1, 3])]
+    ):
+        def pv(a, lo=x0, hi=x1):
+            return OffsetView(np.ascontiguousarray(a[lo:hi]), (lo, 0, 0))
+
+        write_pvtu(
+            "s", grid, pv(u), pv(el_stress), pv(el_strain), pv(el_nl),
+            pv(el_cost), grid.wg, outdir=d_mp, reduced=True,
+            ranks=ranks, write_master=(fake == 0),
+        )
+    for r in range(4):
+        f = f"s-subdo-{r}.vtu"
+        assert open(os.path.join(d_mp, f)).read() == open(
+            os.path.join(d_all, f)
+        ).read(), f
+    assert open(os.path.join(d_mp, "s.pvtu")).read() == open(
+        os.path.join(d_all, "s.pvtu")
+    ).read()

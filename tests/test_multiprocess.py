@@ -114,6 +114,7 @@ def test_two_process_cli_end_to_end(tmp_path):
                 MACROC_COORDINATOR=f"localhost:{port}",
                 MACROC_NUM_PROCESSES="2",
                 MACROC_PROCESS_ID=str(pid),
+                MACROC_DEBUG_IO="1",
                 PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
             )
             procs.append(
@@ -136,7 +137,21 @@ def test_two_process_cli_end_to_end(tmp_path):
     rows = np.loadtxt(outdir / "info.dat", ndmin=2)
     assert rows.shape == (2, 6)
     assert (outdir / "solution_1.pvtu").exists()
-    assert (ck / "step_2.npz").exists()
+    # sharded checkpoint: BOTH processes wrote disjoint shard files covering
+    # the full state (no process_allgather anywhere in checkpoint.py)
+    for pid in range(2):
+        assert (ck / "step_2" / f"proc_{pid}.npz").exists()
+    import json as _json
+
+    blocks = []
+    for pid in range(2):
+        with open(ck / "step_2" / f"proc_{pid}.json") as f:
+            blocks.append(_json.load(f)["blocks"])
+    assert blocks[0] and blocks[1]
+    # the u leaf (leaf 0) shards must be disjoint between processes
+    s0 = {tuple(b["start"]) for b in blocks[0] if b["leaf"] == 0}
+    s1 = {tuple(b["start"]) for b in blocks[1] if b["leaf"] == 0}
+    assert s0.isdisjoint(s1)
 
     # resume 2 -> 3 under 2 processes (load + re-shard on the mesh)
     port = _free_port()  # fresh coordinator port for the second launch
@@ -159,3 +174,37 @@ def test_two_process_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     rows_sp = np.loadtxt(out1 / "info.dat", ndmin=2)
     np.testing.assert_allclose(rows2, rows_sp, rtol=1e-8, atol=1e-12)
+
+    # --- per-process VTU pieces: each process wrote ITS OWN disjoint piece
+    # set from addressable ghosted patches (no global gather), and the
+    # stitched pieces agree with the single-process run ---
+    assert "process 0 wrote vtu pieces [0]" in outs[0]
+    assert "process 1 wrote vtu pieces [1]" in outs[1]
+    assert "wrote vtu pieces" not in outs[0].replace(
+        "process 0 wrote vtu pieces [0]", ""
+    )
+
+    import xml.etree.ElementTree as ET
+
+    def vtu_map(path, field):
+        """{(x,y,z): field_row} from an ascii piece's point data."""
+        root = ET.parse(path).getroot()
+        arrs = {
+            da.get("Name"): np.fromstring(
+                da.text.replace("\t", " "), sep=" "
+            )
+            for da in root.iter("DataArray")
+        }
+        pos = arrs["Position"].reshape(-1, 3)
+        val = arrs[field].reshape(len(pos), -1)
+        return {tuple(np.round(p, 9)): v for p, v in zip(pos, val)}
+
+    sp_map = vtu_map(out1 / "solution_1-subdo-0.vtu", "displ")
+    stitched = {}
+    for r in range(2):
+        stitched.update(vtu_map(outdir / f"solution_1-subdo-{r}.vtu",
+                                "displ"))
+    assert set(stitched) == set(sp_map)
+    for k in sp_map:
+        np.testing.assert_allclose(stitched[k], sp_map[k], rtol=1e-8,
+                                   atol=1e-12)
