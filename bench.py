@@ -83,6 +83,22 @@ def bench_spmv(n=128, dtype=jnp.float32):
             variants[f"pallas_v2_{t[0]}x{t[1]}x{t[2]}"] = (
                 lambda A, v, t=t: stencil_matvec_pallas(A, v, tile=t)
             )
+        # the multi-chip composition on a degenerate 1x1x1 mesh: times the
+        # shard_map + halo-exchange + overlap-shell wrapper around the same
+        # Pallas kernel, so a regression in that composition is caught on
+        # single-chip hardware (VERDICT r2 weak #7)
+        from jax.sharding import Mesh
+
+        from macroc_tpu.parallel.halo import shmap_stencil_matvec
+
+        mesh = Mesh(
+            np.asarray(jax.devices()[:1]).reshape(1, 1, 1), ("x", "y", "z")
+        )
+        variants["pallas_shmap_1x1x1"] = (
+            lambda A, v: shmap_stencil_matvec(
+                mesh, A, v, kernel="pallas", tile=(4, 16, 128)
+            )
+        )
         # correctness gate: every Pallas variant must match the jnp oracle
         y_ref = stencil_matvec_soa(A_soa, x)
         for name, mv in list(variants.items()):
@@ -102,7 +118,21 @@ def bench_spmv(n=128, dtype=jnp.float32):
         dt = _timed_loop(mv, (A_soa, x))
         results[name] = dt
 
-    best_name = min(results, key=results.get)
+    if "pallas_shmap_1x1x1" in results:
+        best_raw = min(
+            v for k, v in results.items() if k.startswith("pallas_v2")
+        )
+        ratio = results["pallas_shmap_1x1x1"] / best_raw
+        if ratio > 1.3:
+            raise AssertionError(
+                f"shard_map SpMV composition regressed: {ratio:.2f}x the "
+                "raw Pallas kernel (gate: 1.3x)"
+            )
+
+    best_name = min(
+        (k for k in results if k != "pallas_shmap_1x1x1"),
+        key=results.get,
+    )
     dt = results[best_name]
     nnodes = n**3
     nnz = nnodes * 27 * 9
@@ -150,11 +180,20 @@ def bench_newton_step(n=128, dtype="float32", pc_type="auto"):
     return dict(newton_step_s=dt, ksp_its=int(its), n=n)
 
 
-def bench_microfe(n_gps=256, micro_n=10, dtype=jnp.float32):
+def bench_microfe(n_gps=256, micro_n=10, dtype=jnp.float32,
+                  fastpath=False, n_lo=2, n_hi=6):
     """Micro-FE homogenize throughput at the PRODUCTION micro size
     (micro_n=10, reference scripts/launch_jobs.sh:13-20): GP-homogenizations
     per second for a heterogeneous two-phase RVE batch — each one a full
-    nonlinear RVE solve plus 6 linear tangent-sensitivity solves."""
+    nonlinear RVE solve plus 6 linear tangent-sensitivity solves
+    (``fastpath=False`` forces the full solve; ``fastpath=True`` measures
+    the pristine-state elastic superposition path).
+
+    The trial internal-variable state is NOT fetched (the timing loop
+    reduces only the stress), so at the production GP count (~38k,
+    50x3x50 grid, launch_jobs.sh:13) the resident state is ONE copy
+    (~7.4 GB at micro_n=10/f32) — the steady-state double-buffered commit
+    needs >= 2 chips, which is how the reference runs it (96-1440 ranks)."""
     from macroc_tpu.config import MIC_LAYER_Y, MaterialParams
     from macroc_tpu.constitutive.microfe import MicroFEEngine
 
@@ -164,6 +203,7 @@ def bench_microfe(n_gps=256, micro_n=10, dtype=jnp.float32):
         mat1=MaterialParams(),
         mat2=MaterialParams(E=1.0e6, nu=0.3, Sy=1.0e4, Ka=1.0e7),
         dtype=dtype,
+        elastic_fastpath=fastpath,
     )
     eps = (
         jax.random.normal(jax.random.PRNGKey(3), (n_gps, 6), dtype) * 1e-4
@@ -177,9 +217,60 @@ def bench_microfe(n_gps=256, micro_n=10, dtype=jnp.float32):
         return jnp.sum(r.stress) * jnp.asarray(1e-30, dtype) + w
 
     dt = _timed_loop(
-        body, (eps, state, jnp.zeros((), dtype)), n_lo=2, n_hi=6
+        body, (eps, state, jnp.zeros((), dtype)), n_lo=n_lo, n_hi=n_hi
     )
-    return dict(gp_per_s=n_gps / dt, n_gps=n_gps, micro_n=micro_n)
+    return dict(gp_per_s=n_gps / dt, n_gps=n_gps, micro_n=micro_n,
+                fastpath=fastpath)
+
+
+def bench_fe2_step(nx=26, ny=3, nz=26, micro_n=10, dtype="float32",
+                   fastpath=True):
+    """Wall-clock of ONE fused FE² Newton time step on a single-chip shard
+    of the production configuration (50x3x50 pancake grid, micro_n=10,
+    heterogeneous -micro_mat_2; scripts/launch_jobs.sh:13-58): every macro
+    GP runs the real micro-FE engine.
+
+    The default 26x3x26 slab (10,000 real GPs) is the largest f32 shard
+    whose double-buffered micro state (committed + trial eps_p/alpha/u,
+    ~3.1 GB per copy at padded 16,224 GP slots) fits one 16 GB chip with
+    the per-chunk solve transients; the full 50x3x50 state (11.5 GB/copy
+    padded) is a >= 4-chip problem, exactly as the reference runs it
+    (96-1440 MPI ranks)."""
+    from macroc_tpu.config import BC_BENDING, MIC_LAYER_Y, MacroConfig, \
+        MaterialParams
+    from macroc_tpu.problem import MacroProblem
+
+    cfg = MacroConfig(
+        nx=nx, ny=ny, nz=nz, lx=10.0, ly=1.0, lz=10.0,
+        bc_type=BC_BENDING, dtype=dtype, constitutive="microfe",
+        micro_n=micro_n, micro_type=MIC_LAYER_Y,
+        micro_mat_2=MaterialParams(E=1.0e6, nu=0.3, Sy=1.0e4, Ka=1.0e7),
+        micro_elastic_fastpath=fastpath,
+        newton_max_its=1, ksp_maxits=10000, ksp_rtol=1e-5,
+    )
+    problem = MacroProblem(cfg, n_devices=1)
+    u, state = problem.init_fields()
+    U = jnp.asarray(cfg.displacement(1), problem.dtype)
+
+    @jax.jit
+    def run(u, state, U):
+        u2, s2, diag = problem.time_step(u, state, U)
+        return (
+            jnp.sum(u2) + diag.res_norms[0]
+            + jnp.sum(s2.eps_p[0, 0, 0]),  # keep the commit path live
+            diag.ksp_its[0],
+        )
+
+    c = run.lower(u, state, U).compile()
+    s, its = c(u, state, U)
+    float(s)  # warm
+    t0 = time.perf_counter()
+    s, its = c(u, state, U)
+    float(s)
+    dt = time.perf_counter() - t0
+    n_gps = (nx - 1) * (ny - 1) * (nz - 1) * 8
+    return dict(fe2_step_s=dt, ksp_its=int(its), n_gps=n_gps,
+                grid=(nx, ny, nz), micro_n=micro_n, fastpath=fastpath)
 
 
 def main():
@@ -194,6 +285,16 @@ def main():
     newton_mg = bench_newton_step(n=128, pc_type="mg")
     newton_jac = bench_newton_step(n=128, pc_type="jacobi")
     microfe = bench_microfe()
+    # production GP count (50x3x50 grid -> 38,416 GPs, launch_jobs.sh:13):
+    # full-solve throughput + the elastic-fastpath win at the same count
+    micro_prod = bench_microfe(n_gps=38416, fastpath=False, n_lo=1, n_hi=2)
+    micro_fast = bench_microfe(n_gps=38416, fastpath=True, n_lo=1, n_hi=3)
+    # single-chip shard of the production FE² step (see bench_fe2_step):
+    # the fast path at the largest fitting shard; the all-GPs-full-solve
+    # step at a smaller slab (its cost is linear in GP count — the per-GP
+    # rate is the microfe_gp_per_s_production number above)
+    fe2_fast = bench_fe2_step(nx=26, ny=3, nz=26, fastpath=True)
+    fe2_full = bench_fe2_step(nx=10, ny=3, nz=10, fastpath=False)
     for nm, r in (("mg", newton_mg), ("jacobi", newton_jac)):
         if not r["ksp_its"] < 10000:
             raise AssertionError(f"newton/{nm} CG did NOT converge")
@@ -217,6 +318,15 @@ def main():
             "microfe_gp_per_s": microfe["gp_per_s"],
             "microfe_n_gps": microfe["n_gps"],
             "microfe_micro_n": microfe["micro_n"],
+            "microfe_gp_per_s_production": micro_prod["gp_per_s"],
+            "microfe_production_n_gps": micro_prod["n_gps"],
+            "microfe_fastpath_gp_per_s_production": micro_fast["gp_per_s"],
+            "fe2_production_step_s_fastpath": fe2_fast["fe2_step_s"],
+            "fe2_fastpath_grid": list(fe2_fast["grid"]),
+            "fe2_fastpath_n_gps": fe2_fast["n_gps"],
+            "fe2_full_step_s": fe2_full["fe2_step_s"],
+            "fe2_full_grid": list(fe2_full["grid"]),
+            "fe2_full_n_gps": fe2_full["n_gps"],
             "roofline_nnz_per_s": sol_nnz_per_s,
             "device": str(jax.devices()[0]),
         },

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from macroc_tpu.config import BC_BENDING, BC_CIRCLE, MacroConfig
-from macroc_tpu.fem.kernels import DIAG_OFFSET, STENCIL_OFFSETS
+from macroc_tpu.fem.kernels import DIAG_OFFSET, N_STENCIL, STENCIL_OFFSETS
 from macroc_tpu.grid import StructuredGrid3D
 
 
@@ -117,6 +117,27 @@ def apply_bc_stencil(A27: jax.Array, bc: BCData) -> jax.Array:
     add = eye * mask[..., :, None].astype(A27.dtype)
     A27 = A27.at[..., DIAG_OFFSET, :, :].add(add)
     return A27
+
+
+def apply_bc_stencil_flat(Af: jax.Array, bc: BCData) -> jax.Array:
+    """apply_bc_stencil on the FLAT block layout Af (nx,ny,nz,243), entry
+    j = o*9 + d*3 + e (fem.kernels.assemble_stencil_flat) — the micro-RVE
+    form that avoids (...,27,3,3) materializations inside nested loops."""
+    mask = bc.mask
+    sp = mask.shape[:3]
+    zero = jnp.zeros((), dtype=Af.dtype)
+    # rows: entries with d constrained at p -> j%9 // 3 == d pattern
+    row = jnp.tile(jnp.repeat(mask, 3, axis=-1), (1, 1, 1, N_STENCIL))
+    Af = jnp.where(row, zero, Af)
+    # cols: entries with e constrained at the o-neighbor -> j%3 == e
+    nm = neighbor_mask27(mask)  # (nx,ny,nz,27,3)
+    col = jnp.broadcast_to(
+        nm[:, :, :, :, None, :], sp + (N_STENCIL, 3, 3)
+    ).reshape(sp + (N_STENCIL * 9,))
+    Af = jnp.where(col, zero, Af)
+    # unit diagonal at constrained dofs: j = 9*DIAG_OFFSET + 4*d
+    d0 = 9 * DIAG_OFFSET
+    return Af.at[..., d0:d0 + 9:4].add(mask.astype(Af.dtype))
 
 
 def apply_bc_stencil_soa(A_soa: jax.Array, bc: BCData) -> jax.Array:

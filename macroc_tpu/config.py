@@ -121,6 +121,11 @@ class MacroConfig:
     micro_mat_1: MaterialParams = dataclasses.field(default_factory=MaterialParams)
     micro_mat_2: MaterialParams = dataclasses.field(default_factory=MaterialParams)
     micro_params: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 0.5)
+    # Skip the per-GP RVE Newton + tangent solves for GP chunks whose
+    # internal vars are pristine and whose linear elastic trial stays below
+    # yield (exact by superposition; disable with
+    # -micro_elastic_fastpath 0 to force the full solve everywhere).
+    micro_elastic_fastpath: bool = True
     # Constitutive engine: "auto" routes by physics — "microfe" (batched
     # micro-FE homogenization, the full FE² path) whenever mat_1 != mat_2
     # and the micro geometry is heterogeneous, else "j2" (closed-form J2
@@ -293,6 +298,11 @@ def parse_cli(argv: Sequence[str], base: Optional[MacroConfig] = None) -> MacroC
         elif tok == "-micro_params" and nxt is not None:
             cfg["micro_params"] = tuple(
                 float(v) for v in nxt.replace(" ", "").split(",") if v
+            )
+            i += 2
+        elif tok == "-micro_elastic_fastpath" and nxt is not None:
+            cfg["micro_elastic_fastpath"] = nxt.lower() in (
+                "1", "true", "yes"
             )
             i += 2
         elif tok == "-ref_b_quirk" and nxt is not None:

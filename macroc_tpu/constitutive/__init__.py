@@ -36,6 +36,7 @@ def make_engine(cfg, dtype):
             mat2=cfg.micro_mat_2,
             params=cfg.micro_params,
             dtype=dtype,
+            elastic_fastpath=cfg.micro_elastic_fastpath,
         )
     raise ValueError(f"unknown constitutive engine '{kind}'")
 

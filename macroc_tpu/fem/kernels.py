@@ -192,6 +192,77 @@ def assemble_stencil_soa(
     return jnp.concatenate(slabs, axis=3)
 
 
+def assemble_stencil_soa_v2(
+    ctan: jax.Array,
+    B: jax.Array,
+    wg: float,
+    grid_shape: Tuple[int, int, int],
+) -> jax.Array:
+    """Per-offset full-grid assembly in SoA layout (27,3,3,nx,ny,nz).
+
+    Same math as assemble_stencil_soa, but instead of building row slabs
+    (pads + 27-part stacks + concatenate — measured ~280 ms of pure data
+    movement at 128^3), each stencil offset o accumulates its <= 8
+    contributing node pairs as full-grid shifted einsums and the 27 offset
+    planes are stacked once.  The einsum contraction work is identical;
+    the intermediate traffic drops from 27 slab-parts per block to one
+    add-chain per offset."""
+    nx, ny, nz = grid_shape
+    cp = jnp.pad(ctan, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    parts = [None] * N_STENCIL
+    for a in range(NPE):
+        oax, oay, oaz = NODE_OFFSETS[a]
+        Ba = B[:, :, a, :]
+        # element plane feeding row r is r - oa -> padded slice 1 - oa
+        cs = cp[
+            1 - oax:1 - oax + nx,
+            1 - oay:1 - oay + ny,
+            1 - oaz:1 - oaz + nz,
+        ]
+        for b in range(NPE):
+            ob = NODE_OFFSETS[b]
+            o = offset_index(ob[0] - oax, ob[1] - oay, ob[2] - oaz)
+            blk = (
+                jnp.einsum("gvd,xyzgvw,gwe->dexyz", Ba, cs, B[:, :, b, :])
+                * wg
+            )
+            parts[o] = blk if parts[o] is None else parts[o] + blk
+    return jnp.stack(parts, axis=0)
+
+
+def assemble_stencil_flat(
+    ctan: jax.Array, B: jax.Array, wg: float, grid_shape: Tuple[int, int, int]
+) -> jax.Array:
+    """assemble_stencil with the block dims FLATTENED: A (nx,ny,nz,243),
+    entry j = o*9 + d*3 + e.
+
+    This is the TPU form for SMALL grids (the micro RVE inside the FE²
+    chunked path): a (...,27,3,3) accumulator materialized inside nested
+    while loops gets a tiled layout that pads the (3,3) minors to (4,128)
+    — a ~57x memory blowup (18.8 GB for a 256-GP chunk at micro_n=10, the
+    production-path OOM) — while a 243-minor pads to 256 lanes only.
+    Numerically identical to assemble_stencil."""
+    nx, ny, nz = grid_shape
+    nex, ney, nez = nx - 1, ny - 1, nz - 1
+    A = jnp.zeros((nx, ny, nz, N_STENCIL * 9), dtype=ctan.dtype)
+    for a in range(NPE):
+        Ba = B[:, :, a, :]
+        BaC = jnp.einsum("gvd,xyzgvw->xyzgdw", Ba, ctan)
+        oa = NODE_OFFSETS[a]
+        for b in range(NPE):
+            Bb = B[:, :, b, :]
+            block = jnp.einsum("xyzgdw,gwe->xyzde", BaC, Bb) * wg
+            ob = NODE_OFFSETS[b]
+            o = offset_index(ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+            A = A.at[
+                oa[0]:oa[0] + nex,
+                oa[1]:oa[1] + ney,
+                oa[2]:oa[2] + nez,
+                o * 9:(o + 1) * 9,
+            ].add(block.reshape(block.shape[:3] + (9,)))
+    return A
+
+
 def assemble_stencil(
     ctan: jax.Array, B: jax.Array, wg: float, grid_shape: Tuple[int, int, int]
 ) -> jax.Array:

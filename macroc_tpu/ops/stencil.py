@@ -38,6 +38,21 @@ def stencil_matvec(A27: jax.Array, x: jax.Array) -> jax.Array:
     return y
 
 
+def stencil_matvec_flat(Af: jax.Array, x: jax.Array) -> jax.Array:
+    """y = A @ x with the stencil in FLAT block layout Af (nx,ny,nz,243)
+    (entry j = o*9 + d*3 + e; see fem.kernels.assemble_stencil_flat).
+    The per-offset (3,3) blocks are sliced out of the 243-minor lazily, so
+    no (...,27,3,3) tensor ever materializes."""
+    nx, ny, nz = x.shape[:3]
+    xp = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    y = jnp.zeros_like(x)
+    for o, (di, dj, dk) in enumerate(STENCIL_OFFSETS):
+        xn = xp[1 + di:1 + di + nx, 1 + dj:1 + dj + ny, 1 + dk:1 + dk + nz, :]
+        blk = Af[:, :, :, o * 9:(o + 1) * 9].reshape(nx, ny, nz, 3, 3)
+        y = y + jnp.einsum("xyzde,xyze->xyzd", blk, xn)
+    return y
+
+
 def stencil_to_dense(A27) -> "np.ndarray":
     """Expand the stencil matrix to a dense (3N, 3N) numpy array with node
     ordering matching C-order flattening of (nx,ny,nz,...) arrays (so

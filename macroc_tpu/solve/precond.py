@@ -43,6 +43,20 @@ def block_jacobi_precond(A27: jax.Array):
     return apply
 
 
+def jacobi_precond_flat(Af: jax.Array):
+    """Jacobi preconditioner from the FLAT block layout (nx,ny,nz,243):
+    the diagonal entries live at j = 9*DIAG_OFFSET + 4*d."""
+    from macroc_tpu.fem.kernels import DIAG_OFFSET
+
+    d0 = 9 * DIAG_OFFSET
+    inv_diag = 1.0 / Af[..., d0:d0 + 9:4]
+
+    def apply(r):
+        return r * inv_diag
+
+    return apply
+
+
 def jacobi_precond_soa(A_soa: jax.Array):
     """Jacobi preconditioner in SoA layout: A_soa (27,3,3,nx,ny,nz),
     vectors (3,nx,ny,nz)."""

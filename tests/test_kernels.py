@@ -163,3 +163,48 @@ def test_assemble_stencil_soa_matches_aos():
         np.asarray(bc_mod.apply_bc_stencil_soa(A_soa, bc)),
         rtol=1e-13, atol=1e-13,
     )
+
+
+def test_assemble_stencil_flat_matches_aos():
+    """The flat (nx,ny,nz,243) assembly + BC elimination + matvec + jacobi
+    pipeline (the micro-RVE TPU form) must match the AoS (…,27,3,3) one."""
+    import jax.numpy as jnp
+
+    from macroc_tpu.bc import BCData, apply_bc_stencil, apply_bc_stencil_flat
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import assemble_stencil, assemble_stencil_flat
+    from macroc_tpu.ops.stencil import stencil_matvec, stencil_matvec_flat
+    from macroc_tpu.solve.precond import jacobi_precond, jacobi_precond_flat
+
+    rng = np.random.default_rng(2)
+    shape = (4, 3, 5)
+    ne = tuple(n - 1 for n in shape)
+    B = jnp.asarray(b_matrix((1.0, 1.1, 0.9)))
+    ctan = jnp.asarray(rng.normal(size=ne + (8, 6, 6)))
+    ctan = ctan + jnp.swapaxes(ctan, -1, -2) + 10.0 * jnp.eye(6)
+
+    A = assemble_stencil(ctan, B, 0.125, shape)
+    Af = assemble_stencil_flat(ctan, B, 0.125, shape)
+    np.testing.assert_allclose(
+        np.asarray(Af), np.asarray(A.reshape(shape + (243,))), rtol=1e-13
+    )
+
+    mask = jnp.asarray(rng.random(shape + (3,)) > 0.7)
+    bc = BCData(mask=mask, val_unit=jnp.zeros(shape + (3,)))
+    Ae = apply_bc_stencil(A, bc)
+    Afe = apply_bc_stencil_flat(Af, bc)
+    np.testing.assert_allclose(
+        np.asarray(Afe), np.asarray(Ae.reshape(shape + (243,))), rtol=1e-13
+    )
+
+    x = jnp.asarray(rng.normal(size=shape + (3,)))
+    np.testing.assert_allclose(
+        np.asarray(stencil_matvec_flat(Afe, x)),
+        np.asarray(stencil_matvec(Ae, x)),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jacobi_precond_flat(Afe)(x)),
+        np.asarray(jacobi_precond(Ae)(x)),
+        rtol=1e-12,
+    )

@@ -173,3 +173,72 @@ def test_gp_chunking_matches_unchunked():
             a.astype(np.float64), b.astype(np.float64),
             rtol=1e-9, atol=1e-9 * max(1.0, np.abs(a).max()),
         )
+
+
+def test_elastic_fastpath_matches_full_solve():
+    """Pristine-state, below-yield chunks: the superposition fast path must
+    reproduce the full per-GP Newton + tangent-solve response."""
+    kw = dict(n=3, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT,
+              dtype=jnp.float64, cg_rtol=1e-12, tangent_cg_rtol=1e-12)
+    fast = MicroFEEngine(elastic_fastpath=True, **kw)
+    full = MicroFEEngine(elastic_fastpath=False, **kw)
+    eps = (
+        jax.random.normal(jax.random.PRNGKey(0), (5, 6), jnp.float64) * 1e-5
+    )
+    state = fast.init_state((5,))
+    rf = fast.homogenize(eps, state)
+    rs = full.homogenize(eps, state)
+    np.testing.assert_allclose(
+        np.asarray(rf.stress), np.asarray(rs.stress), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.ctan), np.asarray(rs.ctan), rtol=1e-6
+    )
+    assert not np.asarray(rf.non_linear).any()
+    # fast path proof: zero CG iterations were spent
+    assert (np.asarray(rf.cost) == 0).all()
+    assert (np.asarray(rs.cost) > 0).all()
+
+
+def test_elastic_fastpath_falls_back_on_yield():
+    """A chunk containing ANY yielding GP must take the full branch and
+    match the fastpath-off engine bit-for-bit."""
+    kw = dict(n=2, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT,
+              dtype=jnp.float64, cg_rtol=1e-12)
+    fast = MicroFEEngine(elastic_fastpath=True, **kw)
+    full = MicroFEEngine(elastic_fastpath=False, **kw)
+    eps = jnp.asarray(
+        [[1e-5, 0, 0, 0, 0, 0], [2e-2, 0, 0, 0, 0, 0]], jnp.float64
+    )  # second GP yields the soft phase
+    state = fast.init_state((2,))
+    rf = fast.homogenize(eps, state)
+    rs = full.homogenize(eps, state)
+    assert np.asarray(rf.non_linear)[1]
+    # same algorithm in both engines; only instruction scheduling may
+    # differ (the fast engine's full branch compiles inside a lax.cond)
+    for name in ("stress", "ctan", "f_trial"):
+        want = np.asarray(getattr(rs, name))
+        np.testing.assert_allclose(
+            np.asarray(getattr(rf, name)), want,
+            rtol=1e-9, atol=1e-9 * np.abs(want).max(), err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(rf.cost), np.asarray(rs.cost)
+    )
+
+
+def test_elastic_fastpath_disabled_after_commit():
+    """Once internal vars are non-zero the fast path must not fire even for
+    small strains (state is no longer pristine)."""
+    eng = MicroFEEngine(
+        n=2, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT,
+        dtype=jnp.float64, cg_rtol=1e-12, elastic_fastpath=True,
+    )
+    big = jnp.asarray([[2e-2, 0, 0, 0, 0, 0]], jnp.float64)
+    small = big * 1e-3
+    state = eng.init_state((1,))
+    r1 = eng.homogenize(big, state)
+    assert np.asarray(r1.non_linear).any()
+    state2 = r1.trial_state  # commit
+    r2 = eng.homogenize(small, state2)
+    assert (np.asarray(r2.cost) > 0).all()  # full branch ran
