@@ -216,9 +216,23 @@ def bench_microfe(n_gps=256, micro_n=10, dtype=jnp.float32,
         r = eng.homogenize(eps * (1.0 + w * 1e-30), state)
         return jnp.sum(r.stress) * jnp.asarray(1e-30, dtype) + w
 
-    dt = _timed_loop(
-        body, (eps, state, jnp.zeros((), dtype)), n_lo=n_lo, n_hi=n_hi
-    )
+    if n_gps * (0 if fastpath else 1) > 8192:
+        # large full-solve populations: ONE homogenize is already ~minutes
+        # of device time, so loop-differencing adds nothing (its purpose
+        # is cancelling ~ms dispatch overheads) and a multi-homogenize
+        # dispatch trips the tunnel watchdog (observed worker crash at a
+        # ~156 s dispatch).  Single warm + timed dispatch instead.
+        args = (eps, state, jnp.zeros((), dtype))
+        run = jax.jit(body)
+        c = run.lower(*args).compile()
+        float(c(*args))  # warm
+        t0 = time.perf_counter()
+        float(c(*args))
+        dt = time.perf_counter() - t0
+    else:
+        dt = _timed_loop(
+            body, (eps, state, jnp.zeros((), dtype)), n_lo=n_lo, n_hi=n_hi
+        )
     return dict(gp_per_s=n_gps / dt, n_gps=n_gps, micro_n=micro_n,
                 fastpath=fastpath)
 
@@ -286,8 +300,12 @@ def main():
     newton_jac = bench_newton_step(n=128, pc_type="jacobi")
     microfe = bench_microfe()
     # production GP count (50x3x50 grid -> 38,416 GPs, launch_jobs.sh:13):
-    # full-solve throughput + the elastic-fastpath win at the same count
-    micro_prod = bench_microfe(n_gps=38416, fastpath=False, n_lo=1, n_hi=2)
+    # full-solve GP/s rate at HALF the count — a single full-population
+    # homogenize is a ~80 s device dispatch, which crashes the tunnel
+    # worker (observed twice; ~57 s dispatches run fine).  The chunked
+    # cost is linear in GP count (lax.map waves), so the per-GP rate is
+    # the production number; the fastpath runs the full 38,416.
+    micro_prod = bench_microfe(n_gps=19208, fastpath=False)
     micro_fast = bench_microfe(n_gps=38416, fastpath=True, n_lo=1, n_hi=3)
     # single-chip shard of the production FE² step (see bench_fe2_step):
     # the fast path at the largest fitting shard; the all-GPs-full-solve

@@ -163,6 +163,12 @@ class MacroConfig:
     #   "stencil_pallas" — assembled BSR, Pallas SpMV kernel (TPU only)
     #   "matfree"        — element-loop operator action, no assembled matrix
     operator: str = "auto"
+    # Stencil-assembly formulation:
+    #   "auto" — best measured form for the backend
+    #   "slab" — x-slab-blocked spatial-minor einsums (assemble_stencil_soa)
+    #   "conv" — one MXU 3D convolution with the constant 2x2x2x288x243
+    #            kernel (assemble_stencil_soa_conv)
+    assembly: str = "auto"
 
     # Checkpoint / resume (TPU-native addition; reference has none, SURVEY §5.4)
     checkpoint_freq: int = -1
@@ -248,6 +254,7 @@ _STR_FLAGS = {
     "-constitutive": "constitutive",
     "-dtype": "dtype",
     "-operator": "operator",
+    "-assembly": "assembly",
     "-output_dir": "output_dir",
     "-vtu_encoding": "vtu_encoding",
     "-checkpoint_dir": "checkpoint_dir",

@@ -519,23 +519,44 @@ class MicroFEEngine:
         if flat <= chunk:
             out = self._solve_chunk(basis, eps_f, eps_p_f, alpha_f, u_f)
         else:
-            # stream the GP population through in fixed-size waves
-            # (sequential lax.map over chunks, vmap within) to bound the
-            # in-flight micro-stencil memory; tail-padded with repeats.
-            # Chunks are spatially contiguous, so with localized plasticity
-            # most chunks stay on the elastic fast path.
-            pad = (-flat) % chunk
-            def pchunk(a):
-                a = jnp.concatenate([a, a[:pad]], axis=0) if pad else a
-                return a.reshape((-1, chunk) + a.shape[1:])
-            out = jax.lax.map(
-                lambda args: self._solve_chunk(basis, *args),
-                (pchunk(eps_f), pchunk(eps_p_f), pchunk(alpha_f),
-                 pchunk(u_f)),
+            # Stream the GP population through in fixed-size waves
+            # (sequential map over chunk INDICES, vmap within) to bound the
+            # in-flight micro-stencil memory.  Chunks are read with
+            # dynamic_slice out of the ORIGINAL buffers — the former
+            # tail-pad `concatenate` materialized a full copy of eps_p
+            # (6.9 GB at the production GP count: the bench OOM).  The
+            # chunk size drops to the largest divisor of the population
+            # within 2x so no tail exists; a ragged tail (pathological
+            # sizes only) is solved as one extra static-slice call.
+            # Chunks are spatially contiguous, so with localized
+            # plasticity most chunks stay on the elastic fast path.
+            d = max(
+                (k for k in range(chunk, chunk // 2, -1) if flat % k == 0),
+                default=chunk,
             )
-            out = tuple(
-                a.reshape((-1,) + a.shape[2:])[:flat] for a in out
+            n_main = flat // d
+
+            def chunk_body(i):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * d, d, 0)
+                return self._solve_chunk(
+                    basis, sl(eps_f), sl(eps_p_f), sl(alpha_f), sl(u_f)
+                )
+
+            main = jax.lax.map(
+                chunk_body, jnp.arange(n_main, dtype=jnp.int32)
             )
+            out = tuple(a.reshape((-1,) + a.shape[2:]) for a in main)
+            tail = flat - n_main * d
+            if tail:
+                t0 = n_main * d
+                t = self._solve_chunk(
+                    basis, eps_f[t0:], eps_p_f[t0:], alpha_f[t0:],
+                    u_f[t0:],
+                )
+                out = tuple(
+                    jnp.concatenate([a, b], axis=0)
+                    for a, b in zip(out, t)
+                )
         sigma, ctan, eps_p_n, alpha_n, u_n, nl, f_tr, cost, unconv = out
 
         def unflat(a):

@@ -230,6 +230,122 @@ def assemble_stencil_soa_v2(
     return jnp.stack(parts, axis=0)
 
 
+def _assembly_conv_weights(B: np.ndarray, wg: float) -> np.ndarray:
+    """Constant conv kernel W (2,2,2, 288, 243) such that the whole stencil
+    assembly is ONE 3D convolution over the flattened tangent field:
+
+        A[(o,d,e), x,y,z] = sum_{tap, c} Cf[x-1+tx, ..., c] * W[t, c, (ode)]
+
+    Derivation: the element stiffness is linear in the tangent,
+    vec(Ke)[(a,d,b,e)] = sum_{gvw} B[g,v,a,d] B[g,w,b,e] * C[g,v,w] * wg,
+    and the pair (a,b) of element E lands at row-node E+off_a, offset
+    off_b-off_a — i.e. node x gathers element x-off_a at conv tap
+    t = 1-off_a.  Everything except C is constant, so the gather+contract
+    collapses into conv weights the MXU executes as dense matmuls."""
+    B = np.asarray(B, dtype=np.float64)  # (8,6,8,3)
+    W = np.zeros((2, 2, 2, NGP * NVOI * NVOI, N_STENCIL * DIM * DIM))
+    for a in range(NPE):
+        oa = NODE_OFFSETS[a]
+        t = (1 - oa[0], 1 - oa[1], 1 - oa[2])
+        for b in range(NPE):
+            ob = NODE_OFFSETS[b]
+            o = offset_index(ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+            # M[(d,e), (g,v,w)] = B[g,v,a,d] * B[g,w,b,e] * wg
+            M = np.einsum("gvd,gwe->degvw", B[:, :, a, :], B[:, :, b, :])
+            W[t[0], t[1], t[2], :, o * 9:(o + 1) * 9] += (
+                M.reshape(9, -1).T * wg
+            )
+    return W
+
+
+def assemble_stencil_soa_conv(
+    ctan: jax.Array,
+    B: jax.Array,
+    wg: float,
+    grid_shape: Tuple[int, int, int],
+) -> jax.Array:
+    """Stencil assembly as ONE MXU convolution: conv3d(Cf, W) with the
+    constant 2x2x2 x 288-in x 243-out kernel of _assembly_conv_weights.
+
+    Single fused op — no slab stacking, no pair-block intermediates: the
+    gather (element->node scatter pattern) becomes the conv taps and the
+    B^T C B contraction becomes the feature matmul, which is exactly the
+    shape the MXU wants (K=288, N=243 per tap)."""
+    nx, ny, nz = grid_shape
+    Cf = ctan.reshape(ctan.shape[:3] + (-1,))  # (nex,ney,nez,288)
+    Cf = jnp.pad(Cf, ((1, 1), (1, 1), (1, 1), (0, 0)))[None]
+    W = jnp.asarray(
+        _assembly_conv_weights(B, wg), dtype=ctan.dtype
+    )
+    out = jax.lax.conv_general_dilated(
+        Cf,
+        W,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NXYZC", "XYZIO", "CNXYZ"),
+    )
+    # (243, 1, nx, ny, nz) -> (27, 3, 3, nx, ny, nz)
+    return out.reshape(N_STENCIL, DIM, DIM, nx, ny, nz)
+
+
+def _assembly_pair_matrix(B: np.ndarray, wg: float) -> np.ndarray:
+    """M ((d,e,a,b)=576, (g,v,w)=288): vec(Ke) = M @ vec(C_e) — the
+    element stiffness as one dense matmul per element (channel order
+    de-major so the stage-2 combine can use de feature groups)."""
+    B = np.asarray(B, dtype=np.float64)
+    M = np.einsum("gvad,gwbe->deabgvw", B, B) * wg  # (3,3,8,8,8,6,6)
+    return M.reshape(9 * NPE * NPE, NGP * NVOI * NVOI)
+
+
+def _assembly_combine_weights() -> np.ndarray:
+    """Grouped-conv selector kernel (2,2,2, 64, 9*27): group g'=(d,e); in
+    channel (a,b) of the group; out channel o of the group; weight 1 at
+    tap t=1-off_a iff off_b-off_a = offset(o)."""
+    W = np.zeros((2, 2, 2, NPE * NPE, 9 * N_STENCIL))
+    for a in range(NPE):
+        oa = NODE_OFFSETS[a]
+        t = (1 - oa[0], 1 - oa[1], 1 - oa[2])
+        for b in range(NPE):
+            ob = NODE_OFFSETS[b]
+            o = offset_index(ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+            for de in range(9):
+                # grouped conv rhs layout: in-ch within group, out-ch
+                # global (group-major: group de, channel o)
+                W[t[0], t[1], t[2], a * NPE + b, de * N_STENCIL + o] = 1.0
+    return W
+
+
+def assemble_stencil_soa_conv2(
+    ctan: jax.Array,
+    B: jax.Array,
+    wg: float,
+    grid_shape: Tuple[int, int, int],
+) -> jax.Array:
+    """Two-stage MXU assembly: (1) per-ELEMENT stiffness as one dense
+    (288->576) matmul — each Ke computed once, unlike the one-shot conv
+    which recomputes it at every consuming node (8x) — then (2) the
+    node-gather as a 2x2x2 grouped selector conv (9 de-groups, 64-in /
+    27-out per group).  FLOPs: 680 GFLOP + 510 GFLOP at 128^3 vs the
+    one-shot conv's 2.3 TFLOP."""
+    nx, ny, nz = grid_shape
+    Cf = ctan.reshape(ctan.shape[:3] + (-1,))
+    M = jnp.asarray(_assembly_pair_matrix(B, wg), dtype=ctan.dtype)
+    Ke = jnp.einsum("xyzc,kc->xyzk", Cf, M)  # (nex,ney,nez,576) de-major
+    Ke = jnp.pad(Ke, ((1, 1), (1, 1), (1, 1), (0, 0)))[None]
+    W = jnp.asarray(_assembly_combine_weights(), dtype=ctan.dtype)
+    out = jax.lax.conv_general_dilated(
+        Ke,
+        W,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NXYZC", "XYZIO", "CNXYZ"),
+        feature_group_count=9,
+    )
+    # (9*27, 1, nx,ny,nz): (d,e,o) -> (o,d,e)
+    out = out.reshape(DIM, DIM, N_STENCIL, nx, ny, nz)
+    return jnp.transpose(out, (2, 0, 1, 3, 4, 5))
+
+
 def assemble_stencil_flat(
     ctan: jax.Array, B: jax.Array, wg: float, grid_shape: Tuple[int, int, int]
 ) -> jax.Array:

@@ -174,7 +174,7 @@ def shmap_stencil_matvec(
     kernel: str = "jnp",
     tile: Tuple[int, int, int] = (4, 16, 128),
     interpret: bool = False,
-    overlap: bool = True,
+    overlap: bool = False,
 ):
     """Explicit-collective SpMV: y = A x with per-axis ppermute halos.
 
@@ -192,11 +192,17 @@ def shmap_stencil_matvec(
     overlap=True (SURVEY.md §5.7, the reference's halo/compute-overlap
     analog): the full local volume is FIRST computed with zero halos —
     pure local data, no dependency on the ppermutes — and only the 1-node
-    boundary shell is then recomputed from the exchanged halos.  The
-    collective permutes therefore overlap with ~all of the SpMV's HBM
-    traffic (XLA schedules the independent ops concurrently); the shell
-    recompute costs O(surface/volume) extra work.  overlap=False is the
-    naive exchange-then-compute form (kept as the oracle).
+    boundary shell is then recomputed from the exchanged halos.
+
+    MEASURED on v5e @128^3 (1x1x1 mesh): overlap=True costs 13.5 ms/call
+    vs 2.79 ms for plain exchange-then-compute (raw kernel: 2.66 ms).
+    The shell recompute's face-slab reads of A_soa are 1-element-thin in
+    a tiled dim, so they pull 8-128x padded lines — ~11 ms of extra HBM
+    traffic to hide tens of µs of ICI ppermute.  XLA already schedules
+    the exchange concurrently with independent work, so overlap=False is
+    the DEFAULT; overlap=True is kept as the documented experiment (the
+    bench gate `pallas_shmap_1x1x1` enforces the composition stays within
+    1.3x of the raw kernel).
     """
 
     @partial(

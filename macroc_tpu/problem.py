@@ -223,14 +223,31 @@ class MacroProblem:
                 jacobi_precond_soa,
             )
 
-            from macroc_tpu.fem.kernels import assemble_stencil_soa
+            from macroc_tpu.fem.kernels import (
+                assemble_stencil_soa,
+                assemble_stencil_soa_conv,
+            )
 
             # assemble directly in the solver's SoA layout (2x faster than
-            # the AoS slice-wise form + to_soa at 128^3; see kernels.py)
+            # the AoS slice-wise form + to_soa at 128^3; see kernels.py);
+            # "auto" picks the measured-best formulation per backend:
+            # v5e @128^3: conv 161.9 ms vs slab 185.7 ms (the conv is MXU
+            # compute-bound at ~14 TF/s carrying 3.4x redundant FLOPs from
+            # the dense per-tap 288x243 matmul — the roofline is ~40 ms,
+            # left for a dedicated combine kernel); on CPU the slab
+            # einsums win.
+            assembly = cfg.assembly
+            if assembly == "auto":
+                assembly = (
+                    "conv" if jax.default_backend() == "tpu" else "slab"
+                )
+            assemble = (
+                assemble_stencil_soa_conv
+                if assembly == "conv"
+                else assemble_stencil_soa
+            )
             A_soa = bc_mod.apply_bc_stencil_soa(
-                assemble_stencil_soa(
-                    ctan, self.B, self.grid.wg, self.node_shape
-                ),
+                assemble(ctan, self.B, self.grid.wg, self.node_shape),
                 self.bc,
             )
             if operator == "stencil_pallas":

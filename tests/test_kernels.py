@@ -208,3 +208,27 @@ def test_assemble_stencil_flat_matches_aos():
         np.asarray(jacobi_precond(Ae)(x)),
         rtol=1e-12,
     )
+
+
+def test_assemble_stencil_soa_conv_matches_slab():
+    """The one-shot MXU conv formulation of the stencil assembly must match
+    the slab SoA assembly exactly (same contraction, different schedule)."""
+    import jax.numpy as jnp
+
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import (
+        assemble_stencil_soa,
+        assemble_stencil_soa_conv,
+        assemble_stencil_soa_conv2,
+        assemble_stencil_soa_v2,
+    )
+
+    rng = np.random.default_rng(9)
+    B = jnp.asarray(b_matrix((1.0, 1.1, 0.9)))
+    ct = jnp.asarray(rng.normal(size=(5, 4, 3, 8, 6, 6)))
+    a_slab = np.asarray(assemble_stencil_soa(ct, B, 0.125, (6, 5, 4)))
+    for fn in (assemble_stencil_soa_conv, assemble_stencil_soa_conv2,
+               assemble_stencil_soa_v2):
+        a = np.asarray(fn(ct, B, 0.125, (6, 5, 4)))
+        np.testing.assert_allclose(a, a_slab, rtol=1e-12, atol=1e-12
+                                   * np.abs(a_slab).max(), err_msg=fn.__name__)
