@@ -110,6 +110,12 @@ class MacroConfig:
     mg_nu: int = 1
     mg_omega: float = 0.6
     mg_coarse_sweeps: int = 10
+    # Coarsest-level solve: True = exact dense inverse (default; needed for
+    # weakly-constrained BCs like the circle patch), False = Jacobi sweeps.
+    mg_coarse_direct: bool = True
+    # Transfer (P/R) interpolation order: 0 = auto (cubic on semicoarsened
+    # pancake hierarchies, linear on cubes), 1 = linear, 3 = cubic.
+    mg_transfer_order: int = 0
 
     # BCs — src/init.c:64,141
     bc_type: int = BC_CIRCLE
@@ -126,6 +132,10 @@ class MacroConfig:
     # yield (exact by superposition; disable with
     # -micro_elastic_fastpath 0 to force the full solve everywhere).
     micro_elastic_fastpath: bool = True
+    # Micro CG preconditioner: "auto" = shared dense elastic inverse up to
+    # micro_n=10 (production size; ~5x fewer CG its, MXU-batched apply),
+    # "jacobi"/"dense_elastic" force one (constitutive/microfe.py).
+    micro_precond: str = "auto"
     # Constitutive engine: "auto" routes by physics — "microfe" (batched
     # micro-FE homogenization, the full FE² path) whenever mat_1 != mat_2
     # and the micro geometry is heterogeneous, else "j2" (closed-form J2
@@ -168,6 +178,8 @@ class MacroConfig:
     #   "slab" — x-slab-blocked spatial-minor einsums (assemble_stencil_soa)
     #   "conv" — one MXU 3D convolution with the constant 2x2x2x288x243
     #            kernel (assemble_stencil_soa_conv)
+    #   "conv2" — two-stage MXU form: per-element Ke matmul (288->576) +
+    #             grouped selector conv (assemble_stencil_soa_conv2)
     assembly: str = "auto"
 
     # Checkpoint / resume (TPU-native addition; reference has none, SURVEY §5.4)
@@ -231,6 +243,7 @@ _INT_FLAGS = {
     "-ksp_gmres_restart": "gmres_restart",
     "-mg_nu": "mg_nu",
     "-mg_coarse_sweeps": "mg_coarse_sweeps",
+    "-mg_transfer_order": "mg_transfer_order",
     "-checkpoint_freq": "checkpoint_freq",
 }
 
@@ -252,6 +265,7 @@ _STR_FLAGS = {
     "-ksp_type": "ksp_type",
     "-pc_type": "pc_type",
     "-constitutive": "constitutive",
+    "-micro_precond": "micro_precond",
     "-dtype": "dtype",
     "-operator": "operator",
     "-assembly": "assembly",
@@ -311,6 +325,9 @@ def parse_cli(argv: Sequence[str], base: Optional[MacroConfig] = None) -> MacroC
             cfg["micro_elastic_fastpath"] = nxt.lower() in (
                 "1", "true", "yes"
             )
+            i += 2
+        elif tok == "-mg_coarse_direct" and nxt is not None:
+            cfg["mg_coarse_direct"] = nxt.lower() in ("1", "true", "yes")
             i += 2
         elif tok == "-ref_b_quirk" and nxt is not None:
             cfg["ref_b_quirk"] = nxt.lower() in ("1", "true", "yes")

@@ -37,6 +37,7 @@ def make_engine(cfg, dtype):
             params=cfg.micro_params,
             dtype=dtype,
             elastic_fastpath=cfg.micro_elastic_fastpath,
+            precond=cfg.micro_precond,
         )
     raise ValueError(f"unknown constitutive engine '{kind}'")
 

@@ -123,6 +123,11 @@ class MicroState:
 
 
 class MicroFEEngine:
+    # homogenize flattens/chunks the GP batch internally — on a device mesh
+    # it must run shard-local (MacroProblem._homogenize wraps it in
+    # shard_map) or the global reshape all-gathers the micro state
+    shard_local = True
+
     def __init__(
         self,
         n: int,
@@ -138,6 +143,7 @@ class MicroFEEngine:
         tangent_cg_rtol: float = 1.0e-6,
         gp_chunk: int = 0,
         elastic_fastpath: bool = True,
+        precond: str = "auto",
     ):
         self.n = n
         self.micro_type = micro_type
@@ -172,6 +178,24 @@ class MicroFEEngine:
         # solves entirely (VERDICT r2 weak #2: elastic GPs dominate early
         # steps; production is 10k steps of a slow load ramp).
         self.elastic_fastpath = elastic_fastpath
+        # Micro CG preconditioner: "jacobi" (point diagonal of the current
+        # operator) or "dense_elastic" — ONE dense inverse of the pristine
+        # elastic RVE operator, SHARED by every GP and every solve.  All
+        # RVEs live on the same micro grid, and plasticity only softens the
+        # operator locally, so the elastic inverse clusters the spectrum
+        # far better than Jacobi (measured: equilibrium CG ~45 -> ~8 its,
+        # tangent/basis solves 1-3 its since their operator IS elastic);
+        # its application is a (g, N) @ (N, N) GEMM — exactly MXU shape.
+        # "auto": dense when the dense op stays small (N = 3(n+1)^3 <= 4500,
+        # i.e. up to the production micro_n=10 -> N=3993, 64 MB one copy),
+        # jacobi above that.
+        if precond == "auto":
+            precond = (
+                "dense_elastic" if 3 * (n + 1) ** 3 <= 4500 else "jacobi"
+            )
+        if precond not in ("jacobi", "dense_elastic"):
+            raise ValueError(f"unknown micro precond '{precond}'")
+        self.precond = precond
 
         lx, ly, lz = self.params[0], self.params[1], self.params[2]
         self.spacing = (lx / n, ly / n, lz / n)
@@ -223,12 +247,73 @@ class MicroFEEngine:
             )
         self.unit_affine = jnp.asarray(np.stack(unit_aff), dtype=dtype)
 
+    # ------------------------------------------------------------------ #
+    def _elastic_dense_inv(self) -> np.ndarray:
+        """Shared dense inverse of the pristine ELASTIC RVE operator
+        (Dirichlet-eliminated), used as the CG preconditioner for every
+        micro solve (precond="dense_elastic").
+
+        Built ONCE per engine on the host in float64 (cached), entirely
+        independent of the jax assembly path: per-element B^T C B with the
+        two-phase elastic matrix, symmetric row/col elimination, LAPACK
+        inverse, symmetrized.  N = 3(n+1)^3 (3993 at production micro_n=10
+        -> one 64 MB f32 constant in the compiled program)."""
+        if getattr(self, "_dense_inv", None) is not None:
+            return self._dense_inv
+        from macroc_tpu.constitutive.elastic import elastic_matrix
+        from macroc_tpu.fem.element import NODE_OFFSETS, b_matrix
+
+        n, m = self.n, self.n + 1
+        C1 = elastic_matrix(self.mat1)
+        C2 = elastic_matrix(self.mat2)
+        m2 = material2_mask(n, self.micro_type, self.params)
+        B = b_matrix(self.spacing)  # (8,6,8,3) float64
+        # element stiffness per material (all GPs share C within a phase)
+        Ke = {
+            phase: np.einsum("gvnd,vw,gwme->ndme", B, C, B).reshape(24, 24)
+            * self.wg
+            for phase, C in (("m1", C1), ("m2", C2))
+        }
+        N = m * m * m * 3
+        A = np.zeros((N, N))
+        nid = lambda i, j, k: (i * m + j) * m + k
+        for ei in range(n):
+            for ej in range(n):
+                for ek in range(n):
+                    K = Ke["m2"] if m2[ei, ej, ek] else Ke["m1"]
+                    ix = np.array(
+                        [
+                            nid(ei + o[0], ej + o[1], ek + o[2]) * 3 + d
+                            for o in NODE_OFFSETS
+                            for d in range(3)
+                        ]
+                    )
+                    A[np.ix_(ix, ix)] += K
+        bnd = np.ravel(np.asarray(self.bnd_mask))
+        A[bnd, :] = 0.0
+        A[:, bnd] = 0.0
+        A[bnd, bnd] = 1.0
+        Minv = np.linalg.inv(A)
+        Minv = (Minv + Minv.T) / 2.0
+        self._dense_inv = Minv.astype(np.dtype(self.dtype))
+        return self._dense_inv
+
+    def _make_precond(self, Af):
+        """CG preconditioner apply (flat (N,) -> flat (N,)) for the current
+        operator Af (flat layout)."""
+        if self.precond == "dense_elastic":
+            Minv = jnp.asarray(self._elastic_dense_inv())
+            return lambda r: Minv @ r
+        applyS = jacobi_precond_flat(Af)
+        mshape3 = self.mshape + (3,)
+        return lambda r: jnp.ravel(applyS(r.reshape(mshape3)))
+
     def __hash__(self):
         return hash(
             (self.n, self.micro_type, self.mat1, self.mat2, self.params,
              str(self.dtype), self.newton_its, self.newton_rtol,
              self.cg_rtol, self.cg_maxits, self.tangent_cg_rtol,
-             self.gp_chunk, self.elastic_fastpath)
+             self.gp_chunk, self.elastic_fastpath, self.precond)
         )
 
     def __eq__(self, other):
@@ -267,23 +352,38 @@ class MicroFEEngine:
         return jnp.einsum("ij,xyzj->xyzi", E, self.coords)
 
     def _assemble_flat(self, ctan):
-        """(raw, eliminated) micro operator in FLAT block layout
+        """Dirichlet-eliminated micro operator in FLAT block layout
         (m,m,m,243).  The micro path must never materialize a (...,27,3,3)
         tensor: born inside the FE² nested loops, that shape gets a tiled
         layout padding the (3,3) minors to (4,128) — a ~57x blowup
         (18.8 GB per 256-GP chunk at micro_n=10) that OOMed the production
-        path.  The flat 243-minor pads to 256 lanes only."""
+        path.  The flat 243-minor pads to 256 lanes only.
+
+        Only the eliminated form is ever stored: the raw-operator action
+        needed by the tangent/basis right-hand sides runs MATRIX-FREE
+        (_raw_action) — keeping the raw stencil doubled the per-RVE
+        in-flight memory (2 x 1.3 MB at micro_n=10) and capped the
+        throughput chunk size (r3's 256 -> 128 regression)."""
         from macroc_tpu.bc import BCData, apply_bc_stencil_flat
 
         Af_raw = assemble_stencil_flat(ctan, self.B, self.wg, self.mshape)
-        Af = apply_bc_stencil_flat(
+        return apply_bc_stencil_flat(
             Af_raw,
             BCData(
                 mask=self.bnd_mask,
                 val_unit=jnp.zeros(self.mshape + (3,), Af_raw.dtype),
             ),
         )
-        return Af_raw, Af
+
+    def _raw_action(self, ctan_gp, w_flat):
+        """y = A_raw w, matrix-free: strain of w -> ctan contraction ->
+        residual assembly (the linearized operator action; equals the raw
+        assembled stencil's matvec without storing it)."""
+        eps_w = compute_strains(w_flat.reshape(self.mshape + (3,)), self.B)
+        sig = jnp.einsum("...vw,...w->...v", ctan_gp, eps_w)
+        return jnp.ravel(
+            assemble_residual(sig, self.B, self.wg, self.mshape)
+        )
 
     def _micro_solve(self, eps6, eps_p_flat, alpha_flat, u0_flat):
         """Solve one RVE to equilibrium at macro strain eps6 from committed
@@ -309,10 +409,6 @@ class MicroFEEngine:
                 stencil_matvec_flat(Af, v.reshape(mshape3))
             )
 
-        def precond_flat(Af):
-            applyS = jacobi_precond_flat(Af)
-            return lambda r: jnp.ravel(applyS(r.reshape(mshape3)))
-
         u = jnp.where(bnd_flat, jnp.ravel(self._affine_u(eps6)), u0_flat)
 
         def lin(u_flat):
@@ -334,11 +430,11 @@ class MicroFEEngine:
             norm = jnp.sqrt(jnp.sum(b * b))
             norm0 = jnp.where(c["it"] == 0, norm, c["norm0"])
             done = norm <= self.newton_rtol * norm0
-            _, Af = self._assemble_flat(ctan)
+            Af = self._assemble_flat(ctan)
             res = cg_solve(
                 partial(mv_flat, Af),
                 b,
-                precond_flat(Af),
+                self._make_precond(Af),
                 rtol=self.cg_rtol,
                 maxits=self.cg_maxits,
             )
@@ -373,12 +469,12 @@ class MicroFEEngine:
         # d sigma_hom = (1/V) int ctan_gp : eps(du).  Exact algorithmic
         # tangent (active set frozen at the converged state) — what MicroPP
         # approximates by central differences.
-        Af_raw, Af_el = self._assemble_flat(ctan_gp)
-        Mj = precond_flat(Af_el)
+        Af_el = self._assemble_flat(ctan_gp)
+        Mj = self._make_precond(Af_el)
 
         def tangent_col(aff_flat):
             wb = jnp.where(bnd_flat, aff_flat, 0.0)
-            rhs = -jnp.where(bnd_flat, 0.0, mv_flat(Af_raw, wb))
+            rhs = -jnp.where(bnd_flat, 0.0, self._raw_action(ctan_gp, wb))
             res = cg_solve(
                 partial(mv_flat, Af_el),
                 rhs,
@@ -423,19 +519,20 @@ class MicroFEEngine:
         _, ctan_gp, *_ = j2_radial_return(
             zero6, zero6, zero1, self.lam, self.mu, self.Sy, self.Ka
         )
-        Af_raw, Af_el = self._assemble_flat(ctan_gp)
+        Af_el = self._assemble_flat(ctan_gp)
         mshape3 = self.mshape + (3,)
         bnd_flat = jnp.ravel(self.bnd_mask)
 
         def mv_flat(Af, v):
             return jnp.ravel(stencil_matvec_flat(Af, v.reshape(mshape3)))
 
-        applyS = jacobi_precond_flat(Af_el)
-        Mj = lambda r: jnp.ravel(applyS(r.reshape(mshape3)))
+        # with precond="dense_elastic" this operator IS the preconditioner:
+        # CG converges in O(1) iterations (f32 roundoff only)
+        Mj = self._make_precond(Af_el)
 
         def unit(aff_flat):
             wb = jnp.where(bnd_flat, aff_flat, 0.0)
-            rhs = -jnp.where(bnd_flat, 0.0, mv_flat(Af_raw, wb))
+            rhs = -jnp.where(bnd_flat, 0.0, self._raw_action(ctan_gp, wb))
             res = cg_solve(
                 partial(mv_flat, Af_el), rhs, Mj,
                 rtol=self.cg_rtol, maxits=self.cg_maxits,

@@ -320,30 +320,45 @@ def assemble_stencil_soa_conv2(
     B: jax.Array,
     wg: float,
     grid_shape: Tuple[int, int, int],
+    block: int = 16,
 ) -> jax.Array:
     """Two-stage MXU assembly: (1) per-ELEMENT stiffness as one dense
     (288->576) matmul — each Ke computed once, unlike the one-shot conv
     which recomputes it at every consuming node (8x) — then (2) the
     node-gather as a 2x2x2 grouped selector conv (9 de-groups, 64-in /
     27-out per group).  FLOPs: 680 GFLOP + 510 GFLOP at 128^3 vs the
-    one-shot conv's 2.3 TFLOP."""
+    one-shot conv's 2.3 TFLOP.
+
+    Row-slab blocked along x: the unblocked form materializes the full Ke
+    field (nex*ney*nez*576 = 4.6 GB at 128^3 plus the padded conv input
+    copy) and OOMs a 16 GB chip; a ``block``-row slab bounds the transient
+    to ~0.7 GB at block=16, recomputing only the one shared element plane
+    per slab boundary."""
     nx, ny, nz = grid_shape
     Cf = ctan.reshape(ctan.shape[:3] + (-1,))
+    # zero element padding so every slab/tap slice is static and
+    # boundary-safe (padded element index = element index + 1)
+    Cfp = jnp.pad(Cf, ((1, 1), (1, 1), (1, 1), (0, 0)))
     M = jnp.asarray(_assembly_pair_matrix(B, wg), dtype=ctan.dtype)
-    Ke = jnp.einsum("xyzc,kc->xyzk", Cf, M)  # (nex,ney,nez,576) de-major
-    Ke = jnp.pad(Ke, ((1, 1), (1, 1), (1, 1), (0, 0)))[None]
     W = jnp.asarray(_assembly_combine_weights(), dtype=ctan.dtype)
-    out = jax.lax.conv_general_dilated(
-        Ke,
-        W,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NXYZC", "XYZIO", "CNXYZ"),
-        feature_group_count=9,
-    )
-    # (9*27, 1, nx,ny,nz): (d,e,o) -> (o,d,e)
-    out = out.reshape(DIM, DIM, N_STENCIL, nx, ny, nz)
-    return jnp.transpose(out, (2, 0, 1, 3, 4, 5))
+    slabs = []
+    for x0 in range(0, nx, block):
+        nb = min(block, nx - x0)
+        # rows [x0, x0+nb) read padded element planes [x0, x0+nb+1)
+        cs = Cfp[x0:x0 + nb + 1]
+        Ke = jnp.einsum("xyzc,kc->xyzk", cs, M)[None]  # de-major channels
+        out = jax.lax.conv_general_dilated(
+            Ke,
+            W,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "CNXYZ"),
+            feature_group_count=9,
+        )
+        # (9*27, 1, nb, ny, nz): (d,e,o) -> (o,d,e)
+        out = out.reshape(DIM, DIM, N_STENCIL, nb, ny, nz)
+        slabs.append(jnp.transpose(out, (2, 0, 1, 3, 4, 5)))
+    return jnp.concatenate(slabs, axis=3)
 
 
 def assemble_stencil_flat(

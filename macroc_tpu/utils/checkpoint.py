@@ -18,6 +18,12 @@ devices address, reading them out of whichever proc files cover them — so a
 checkpoint written by P processes restores under any process count.
 
 Legacy round-2 single-file ``step_<N>.npz`` checkpoints still load.
+
+REQUIREMENT: ``ckpt_dir`` must be a filesystem shared by all processes
+(NFS/GCS-fuse/lustre — standard on pods and the reference's SLURM clusters):
+``load`` reads every ``proc_<p>.npz`` regardless of which process wrote it,
+and the atomic publish assumes one directory visible to all.  A missing
+shard file fails loudly at load (see _BlockReader.read).
 """
 
 from __future__ import annotations
@@ -77,6 +83,15 @@ def save(ckpt_dir: str, step: int, tree: Any, write: bool = True) -> str:
     final = os.path.join(ckpt_dir, f"step_{step}")
     staging = final + ".writing"
     pid = jax.process_index()
+    # a crashed earlier save (possibly under a different process count) may
+    # have left stale proc_<p> files in the staging dir; publishing them
+    # alongside fresh ones would make resume fail with overlap overcount —
+    # the primary clears the dir before anyone writes
+    if pid == 0 and os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    _barrier(f"ckpt_clean_{step}")
     os.makedirs(staging, exist_ok=True)
 
     leaves, _ = _flatten(tree)
@@ -99,11 +114,19 @@ def save(ckpt_dir: str, step: int, tree: Any, write: bool = True) -> str:
 
     _barrier(f"ckpt_save_{step}")
     if pid == 0:
-        if os.path.isdir(final):
-            import shutil
+        import shutil
 
-            shutil.rmtree(final)
+        # overwrite without a destruction window: move the old step aside,
+        # publish, then drop the old copy — a crash at any point leaves at
+        # least one complete copy on disk (step_<N> or step_<N>.old)
+        old = final + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.replace(final, old)
         os.replace(staging, final)  # atomic publish
+        if os.path.isdir(old):
+            shutil.rmtree(old)
     _barrier(f"ckpt_publish_{step}")
     return final
 
@@ -161,7 +184,9 @@ class _BlockReader:
         if filled != int(np.prod(sizes)):
             raise ValueError(
                 f"checkpoint {self.dir}: leaf {leaf} slice {index} not fully "
-                "covered by saved shards"
+                "covered by saved shards — if this is a multi-host run, "
+                "check that the checkpoint dir is on a filesystem shared by "
+                "ALL processes (each proc_<p>.npz must be readable here)"
             )
         return out
 

@@ -165,3 +165,19 @@ def test_gauss_evolution_per_rank_counts_across_decompositions():
     # and the single-rank row is just the total
     counts1 = per_rank_nonlinear_counts(nl1, p1.grid)
     assert counts1.shape == (1,) and counts1[0] == nl1.sum()
+
+    # the DEVICE-side reduction (what the driver now uses — no per-step
+    # gather of the flag array) must match the host oracle exactly, from
+    # both per-GP flags and element-level counts
+    from macroc_tpu.forces import per_rank_nonlinear_counts_device
+
+    dev8 = np.asarray(
+        jax.jit(
+            lambda nl: per_rank_nonlinear_counts_device(nl, p8.grid)
+        )(d8.non_linear)
+    )
+    np.testing.assert_array_equal(dev8, counts8)
+    dev8_el = np.asarray(per_rank_nonlinear_counts_device(
+        jnp.asarray(nl8), p8.grid
+    ))
+    np.testing.assert_array_equal(dev8_el, counts8)
