@@ -89,6 +89,17 @@ def test_microfe_sharded_step_has_no_allgather():
     hlo = compiled.as_text()
     n_ag = hlo.count("all-gather")
     assert n_ag == 0, f"sharded FE² step still contains {n_ag} all-gathers"
+    # per-device memory = shard + transients, NOT the global state: the
+    # program's per-device argument bytes must be ~1/8 of the global
+    # micro-state footprint (the r3 gathers made it the full footprint)
+    state_bytes = sum(
+        np.asarray(a).nbytes for a in jax.tree.leaves(p8.init_fields()[1])
+    )
+    ma = compiled.memory_analysis()
+    assert ma.argument_size_in_bytes < state_bytes / 4, (
+        f"per-device args {ma.argument_size_in_bytes} vs global state "
+        f"{state_bytes}: state is not sharded"
+    )
 
 
 def test_microfe_fastpath_sharded():
