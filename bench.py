@@ -32,11 +32,11 @@ GATE_TOL = 1.15
 BASELINES = {
     # metric: (best value, "higher"/"lower" is better)
     "spmv_nnz_per_s": (186.0e9, "higher"),         # r2/r3 Pallas v2
-    "newton_step_s_128cubed": (0.5587, "lower"),   # r4 bisect, slab+MG
+    "newton_step_s_128cubed": (0.447, "lower"),    # r4: mxu assembly + MG
     "newton_jacobi_s_128cubed": (1.771, "lower"),  # r3
-    "microfe_gp_per_s": (582.0, "higher"),         # r2 (chunk 256)
-    "microfe_gp_per_s_production": (600.0, "higher"),  # r4 target
-    "fe2_full_step_s": (35.0, "lower"),            # r4 target (10x3x10)
+    "microfe_gp_per_s": (1100.0, "higher"),        # r4: dense_elastic PC
+    "microfe_gp_per_s_production": (1100.0, "higher"),  # r4 measured 1134
+    "fe2_full_step_s": (13.5, "lower"),            # r4 measured 13.1
 }
 
 

@@ -303,28 +303,46 @@ class MacroProblem:
                 assemble_stencil_soa,
                 assemble_stencil_soa_conv,
                 assemble_stencil_soa_conv2,
+                assemble_stencil_soa_v2,
             )
 
-            # assemble directly in the solver's SoA layout (2x faster than
-            # the AoS slice-wise form + to_soa at 128^3; see kernels.py);
-            # "auto" picks the measured-best formulation per backend:
-            # v5e @128^3 standalone: conv2 104 ms < conv 162 ms < slab
-            # 186 ms — but inside the FUSED step the conv forms lose ~0.2 s
-            # to layout copies around conv_general_dilated (the r3
-            # regression: BENCH_r03 0.798 s vs r2 slab 0.562 s), so "auto"
-            # stays on the slab einsums on TPU; on CPU the slab also wins.
+            # assemble directly in the solver's SoA layout; "auto" picks
+            # the measured-best formulation per backend (v5e @128^3
+            # standalone: mxu 70 ms < offsetwise 144 < conv 183 < slab
+            # 186; fused-step: the conv forms lose ~0.24 s to layout
+            # copies around conv_general_dilated — the r3 regression —
+            # and offsetwise OOMs, so auto = "mxu" [Ke MXU matmul +
+            # Pallas combine, ops/assembly_pallas.py] on single-device
+            # TPU, "slab" everywhere else: the Pallas combine has no
+            # SPMD partitioning rule and the multi-device assembly runs
+            # under GSPMD).
             assembly = cfg.assembly
+            on_tpu = jax.default_backend() == "tpu"
             if assembly == "auto":
-                assembly = "slab"
+                assembly = "mxu" if (on_tpu and nproc == 1) else "slab"
+            from macroc_tpu.ops.assembly_pallas import (
+                assemble_stencil_soa_mxu,
+            )
+
             assemblers = {
                 "slab": assemble_stencil_soa,
+                "offsetwise": assemble_stencil_soa_v2,
                 "conv": assemble_stencil_soa_conv,
                 "conv2": assemble_stencil_soa_conv2,
+                "mxu": partial(
+                    assemble_stencil_soa_mxu, xblock=16,
+                    interpret=not on_tpu,
+                ),
             }
             if assembly not in assemblers:
                 raise ValueError(
                     f"unknown assembly '{cfg.assembly}' "
-                    f"(expected auto|slab|conv|conv2)"
+                    f"(expected auto|slab|offsetwise|conv|conv2|mxu)"
+                )
+            if assembly == "mxu" and nproc > 1:
+                raise ValueError(
+                    "assembly='mxu' is single-device only (no SPMD rule "
+                    "for the Pallas combine); use auto/slab"
                 )
             assemble = assemblers[assembly]
             A_soa = bc_mod.apply_bc_stencil_soa(

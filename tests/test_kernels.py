@@ -232,3 +232,28 @@ def test_assemble_stencil_soa_conv_matches_slab():
         a = np.asarray(fn(ct, B, 0.125, (6, 5, 4)))
         np.testing.assert_allclose(a, a_slab, rtol=1e-12, atol=1e-12
                                    * np.abs(a_slab).max(), err_msg=fn.__name__)
+
+
+def test_assemble_stencil_soa_mxu_matches_slab():
+    """The Pallas-combine MXU assembly (the single-device TPU default,
+    ops/assembly_pallas.py) must match the slab assembly — interpret mode
+    on CPU; odd extents exercise the z-rotate wrap and padding."""
+    import jax.numpy as jnp
+
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import assemble_stencil_soa
+    from macroc_tpu.ops.assembly_pallas import assemble_stencil_soa_mxu
+
+    rng = np.random.default_rng(10)
+    B = jnp.asarray(b_matrix((1.0, 1.1, 0.9)))
+    for shape in ((6, 5, 4), (9, 9, 9), (5, 2, 2)):
+        ne = tuple(n - 1 for n in shape)
+        ct = jnp.asarray(rng.normal(size=ne + (8, 6, 6)))
+        a_slab = np.asarray(assemble_stencil_soa(ct, B, 0.125, shape))
+        a = np.asarray(
+            assemble_stencil_soa_mxu(ct, B, 0.125, shape, interpret=True)
+        )
+        np.testing.assert_allclose(
+            a, a_slab, rtol=1e-12, atol=1e-12 * np.abs(a_slab).max(),
+            err_msg=str(shape),
+        )
