@@ -35,8 +35,11 @@ BASELINES = {
     "newton_step_s_128cubed": (0.447, "lower"),    # r4: mxu assembly + MG
     "newton_jacobi_s_128cubed": (1.771, "lower"),  # r3
     "microfe_gp_per_s": (1100.0, "higher"),        # r4: dense_elastic PC
-    "microfe_gp_per_s_production": (1100.0, "higher"),  # r4 measured 1134
-    "fe2_full_step_s": (13.5, "lower"),            # r4 measured 13.1
+    # r4 measured 982-1134 across runs (large-dispatch variance); best set
+    # below the band floor so noise can't trip it while the 487 GP/s
+    # jacobi-class regression still fails hard
+    "microfe_gp_per_s_production": (1000.0, "higher"),
+    "fe2_full_step_s": (4.0, "lower"),             # r4 measured 3.38
 }
 
 

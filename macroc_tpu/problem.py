@@ -385,6 +385,8 @@ class MacroProblem:
                 levels = build_hierarchy(
                     ctan, bc_mask_soa, self.grid.spacing, cfg.ref_b_quirk,
                     A0_soa=A_soa,
+                    # coarse levels use the same measured-best assembler
+                    assemble_fn=assemble,
                 )
 
                 def mv_for(level):

@@ -49,7 +49,25 @@ from macroc_tpu.fem.kernels import (
     offset_index,
 )
 from macroc_tpu.ops.stencil_pallas import stencil_matvec_soa
-from macroc_tpu.solve.precond import _inv3x3
+
+
+def _inv3x3_soa(D: jax.Array) -> jax.Array:
+    """Inverse of per-node 3x3 blocks in SoA layout D (3,3,nx,ny,nz) ->
+    (3,3,nx,ny,nz), via the adjugate — nine elementwise plane products,
+    no layout change.  (Routing through (nx,ny,nz,3,3) + linalg costs
+    ~650 MB of relayout copies per hierarchy build at 128^3: the (3,3)
+    minors tile-pad, and every smoother application then re-transposes.)"""
+    a, b, c = D[0, 0], D[0, 1], D[0, 2]
+    d, e, f = D[1, 0], D[1, 1], D[1, 2]
+    g, h, i = D[2, 0], D[2, 1], D[2, 2]
+    A = e * i - f * h
+    Dd = f * g - d * i
+    G = d * h - e * g
+    det = a * A + b * Dd + c * G
+    r0 = jnp.stack([A, c * h - b * i, b * f - c * e])
+    r1 = jnp.stack([Dd, a * i - c * g, c * d - a * f])
+    r2 = jnp.stack([G, b * g - a * h, a * e - b * d])
+    return jnp.stack([r0, r1, r2]) / det
 
 
 def coarse_size(n: int) -> int:
@@ -135,7 +153,7 @@ def _interp_tables_k(n_f: int, order: int) -> Tuple[np.ndarray, np.ndarray]:
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
     A_soa: jax.Array       # (27,3,3,nx,ny,nz)
-    inv_diag: jax.Array    # (nx,ny,nz,3,3) inverse nodal blocks
+    inv_diag: jax.Array    # (3,3,nx,ny,nz) inverse nodal blocks (SoA)
     bc_mask: jax.Array     # (3,nx,ny,nz) bool (SoA layout)
     # LINE smoother along the uncoarsened thin dim of a semicoarsened
     # hierarchy: dense inverse of the block-tridiagonal line operator,
@@ -262,7 +280,9 @@ def _coarsen_elem_dim(x: jax.Array, dim: int, n_f_nodes: int) -> jax.Array:
     Implemented with static-index takes, never a pad/reshape of the fine
     tensor: a reshape that repacks the (...,8,6,6) minor dims forces an XLA
     layout copy whose (8,128) tiling pads 6->8 x 6->128, a ~16x memory
-    blowup (37 GB at 128^3, OOMs a v5e)."""
+    blowup (37 GB at 128^3, OOMs a v5e).  (A stride-2 lax.slice variant
+    was MEASURED WORSE — 59 vs 47 ms at 128^3 — strided slicing on the
+    tiled minor dims breaks lane contiguity.)"""
     f_el = x.shape[dim]
     nc_el = coarse_size(n_f_nodes) - 1
     ia = np.minimum(2 * np.arange(nc_el), f_el - 1)
@@ -303,6 +323,7 @@ def build_hierarchy(
     max_levels: int = 10,
     min_extent: int = 3,
     A0_soa: jax.Array | None = None,
+    assemble_fn=None,
 ) -> List[MGLevel]:
     """Level list from fine per-GP tangents (cropped element shape).
 
@@ -328,8 +349,13 @@ def build_hierarchy(
     construction in problem.linear_solve) so the hierarchy is
     self-contained; pass the already-assembled fine operator as ``A0_soa``
     to reuse it (saves a duplicate ~2 GB assembly at 128^3 — XLA CSE
-    usually dedupes it, but don't rely on that)."""
+    usually dedupes it, but don't rely on that).  ``assemble_fn`` overrides
+    the per-level stencil assembler (the caller passes the measured-best
+    form — e.g. the MXU+Pallas assembler on single-device TPU)."""
     from macroc_tpu import bc as bc_mod
+
+    if assemble_fn is None:
+        assemble_fn = assemble_stencil_soa
 
     levels: List[MGLevel] = []
     dtype = ctan.dtype
@@ -360,12 +386,12 @@ def build_hierarchy(
             B = jnp.asarray(b_matrix(cur_spacing), dtype=dtype)
             mask_aos = jnp.moveaxis(cur_mask, 0, -1)  # (nx,ny,nz,3)
             A_soa = bc_mod.apply_bc_stencil_soa(
-                assemble_stencil_soa(cur_ctan, B, wg, shape),
+                assemble_fn(cur_ctan, B, wg, shape),
                 bc_mod.BCData(
                     mask=mask_aos, val_unit=jnp.zeros(shape + (3,), dtype)
                 ),
             )
-        inv_diag = _inv3x3(jnp.moveaxis(A_soa[DIAG_OFFSET], (0, 1), (-2, -1)))
+        inv_diag = _inv3x3_soa(A_soa[DIAG_OFFSET])
         line_inv = (
             _build_line_inv(A_soa, line_dim) if line_dim >= 0 else None
         )
@@ -434,7 +460,7 @@ def _smooth(level: MGLevel, x: jax.Array, b: jax.Array, nu: int,
         return x
     for _ in range(nu):
         r = b - mv(level.A_soa, x)
-        dz = jnp.einsum("xyzde,exyz->dxyz", level.inv_diag, r)
+        dz = jnp.einsum("dexyz,exyz->dxyz", level.inv_diag, r)
         x = x + omega * dz
     return x
 
