@@ -32,7 +32,7 @@ GATE_TOL = 1.15
 BASELINES = {
     # metric: (best value, "higher"/"lower" is better)
     "spmv_nnz_per_s": (186.0e9, "higher"),         # r2/r3 Pallas v2
-    "newton_step_s_128cubed": (0.447, "lower"),    # r4: mxu assembly + MG
+    "newton_step_s_128cubed": (0.406, "lower"),    # r4: mxu asm + bf16 MG
     "newton_jacobi_s_128cubed": (1.771, "lower"),  # r3
     "microfe_gp_per_s": (1100.0, "higher"),        # r4: dense_elastic PC
     # r4 measured 982-1134 across runs (large-dispatch variance); best set

@@ -113,6 +113,11 @@ class MacroConfig:
     # Coarsest-level solve: True = exact dense inverse (default; needed for
     # weakly-constrained BCs like the circle patch), False = Jacobi sweeps.
     mg_coarse_direct: bool = True
+    # Storage dtype for the V-cycle level operators ("" = solve dtype).
+    # "bfloat16" halves the smoother's A-read traffic; the V-cycle is only
+    # a preconditioner, so reduced precision costs at most an extra CG
+    # iteration (vectors/transfers stay in solve dtype).
+    mg_dtype: str = ""
     # Transfer (P/R) interpolation order: 0 = auto (cubic on semicoarsened
     # pancake hierarchies, linear on cubes), 1 = linear, 3 = cubic.
     mg_transfer_order: int = 0
@@ -271,6 +276,7 @@ _STR_FLAGS = {
     "-assembly": "assembly",
     "-output_dir": "output_dir",
     "-vtu_encoding": "vtu_encoding",
+    "-mg_dtype": "mg_dtype",
     "-checkpoint_dir": "checkpoint_dir",
     "-profile_dir": "profile_dir",
 }

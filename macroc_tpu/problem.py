@@ -388,6 +388,36 @@ class MacroProblem:
                     # coarse levels use the same measured-best assembler
                     assemble_fn=assemble,
                 )
+                mg_dtype = cfg.mg_dtype
+                if (
+                    not mg_dtype
+                    and self.dtype == jnp.float32
+                    and jax.default_backend() == "tpu"
+                    and levels[0].line_dim < 0
+                ):
+                    # measured on v5e @128^3: bf16 level operators cut the
+                    # step 0.4345 -> 0.4051 s at IDENTICAL 9 CG its (the
+                    # V-cycle is only a preconditioner).  Auto applies
+                    # only to POINT-smoothed (cube) hierarchies: on
+                    # semicoarsened pancakes the bf16 operators degrade
+                    # the line-GS V-cycle (measured 15 -> 20 its on the
+                    # 40x3x40 default).  -mg_dtype float32 opts out.
+                    mg_dtype = "bfloat16"
+                if mg_dtype and jnp.dtype(mg_dtype) != self.dtype:
+                    # reduced-precision V-cycle operators: the smoother's
+                    # matvecs read half the bytes; vectors/transfers stay
+                    # in the solve dtype (the V-cycle remains a fixed
+                    # symmetric operator — equal entries round equally);
+                    # line_inv keeps the solve dtype (exact line solves)
+                    mgdt = jnp.dtype(mg_dtype)
+                    levels = [
+                        dataclasses.replace(
+                            lv,
+                            A_soa=lv.A_soa.astype(mgdt),
+                            inv_diag=lv.inv_diag.astype(mgdt),
+                        )
+                        for lv in levels
+                    ]
 
                 def mv_for(level):
                     # Pallas wins only where its nz-to-128 padding is free

@@ -516,7 +516,13 @@ def make_mg_preconditioner(
         stencil_matvec_soa if mv_for is None else mv_for(lv) for lv in levels
     ]
     coarse_inv = (
-        jnp.linalg.inv(_dense_from_soa(levels[-1].A_soa))
+        jnp.linalg.inv(
+            # reduced-precision hierarchies (mg_dtype) still invert in
+            # >= f32 (linalg.inv has no bf16 path; the result is cast back)
+            _dense_from_soa(levels[-1].A_soa).astype(
+                jnp.promote_types(levels[-1].A_soa.dtype, jnp.float32)
+            )
+        ).astype(levels[-1].A_soa.dtype)
         if coarse_direct
         else None
     )
