@@ -126,6 +126,23 @@ def _combine_kernel(ke_hbm, out_ref, kv, sems, *, XB, TY, Z):
                 out_ref[K:K + 1] = out_ref[K:K + 1] + w[None]
 
 
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def mxu_assembly_vmem_ok(nz: int, tile: Tuple[int, int] = (4, 16)) -> bool:
+    """True when the combine kernel's resident VMEM (output tile + 2-slot
+    Ke window scratch, both carrying the whole 128-padded z extent) fits
+    the 100 MB scoped-vmem budget with ~10% margin.  An oversized grid
+    would otherwise die in Mosaic with an opaque VMEM-exhausted compile
+    error; callers (problem.linear_solve 'auto') fall back to the slab
+    assembler instead (ADVICE r4)."""
+    XB, TY = tile
+    Z = -(-nz // 128) * 128
+    out_bytes = 243 * XB * TY * Z * 4
+    scratch_bytes = 2 * 72 * (XB + 1) * (TY + 8) * Z * 4
+    return out_bytes + scratch_bytes <= int(_VMEM_LIMIT_BYTES * 0.9)
+
+
 @functools.partial(
     jax.jit, static_argnames=("grid_shape", "xblock", "tile", "interpret")
 )
@@ -181,7 +198,7 @@ def assemble_stencil_soa_mxu(
     out = pl.pallas_call(
         kernel,
         grid=(gx, gy),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (243, XB, TY, Z),
             lambda i, j: (0, i, j, 0),

@@ -250,15 +250,22 @@ class MacroProblem:
         return b, norm, hom
 
     # ------------------------------------------------------------------ #
-    def linear_solve(self, ctan: jax.Array, b: jax.Array):
+    def linear_solve(self, ctan_ns: jax.Array, b: jax.Array):
         """Assemble the BC-eliminated operator from per-GP tangents and run
         the configured Krylov method (assembly_jac + solve_Ax).
+
+        ``ctan_ns`` is the NODE-shaped per-GP tangent field (element slot
+        (i,j,k) = element at the same offset; trailing slots inactive and
+        already masked to zero) so it shards P('x','y','z') and the
+        distributed assembler can consume it shard-local; single-device
+        paths crop to the (n-1) element view internally.
 
         Stencil paths work in SoA layout — A (27,3,3,nx,ny,nz), vectors
         (3,nx,ny,nz) — so SpMV's minor dims map onto TPU (sublane, lane)
         tiles and the matvec runs at HBM-roofline speed; the one-time
         transposes per Newton iteration are noise next to the CG loop."""
         cfg = self.cfg
+        ctan = self._crop_gp(ctan_ns)
         operator = cfg.operator
         nproc = self.grid.nproc
         local_nz = self.node_shape[2] // self.grid.procs[2]
@@ -312,18 +319,37 @@ class MacroProblem:
             # 186; fused-step: the conv forms lose ~0.24 s to layout
             # copies around conv_general_dilated — the r3 regression —
             # and offsetwise OOMs, so auto = "mxu" [Ke MXU matmul +
-            # Pallas combine, ops/assembly_pallas.py] on single-device
-            # TPU, "slab" everywhere else: the Pallas combine has no
-            # SPMD partitioning rule and the multi-device assembly runs
-            # under GSPMD).
+            # Pallas combine, ops/assembly_pallas.py] on TPU whenever
+            # the whole-z combine tile fits VMEM, "slab" elsewhere.  On
+            # a device mesh the mxu form runs PER DEVICE inside
+            # shard_map (parallel/halo.py::shmap_assemble_stencil, the
+            # MatAssembly-scatter equivalent) — the Pallas combine has
+            # no GSPMD partitioning rule, so only the shard_map
+            # composition keeps it engaged multi-chip (VERDICT r4 #1).
             assembly = cfg.assembly
             on_tpu = jax.default_backend() == "tpu"
-            if assembly == "auto":
-                assembly = "mxu" if (on_tpu and nproc == 1) else "slab"
             from macroc_tpu.ops.assembly_pallas import (
                 assemble_stencil_soa_mxu,
+                mxu_assembly_vmem_ok,
             )
 
+            # z extent the per-device combine kernel will carry: local
+            # nodes, +1 when the z axis is split (the folded extra plane)
+            mxu_nz = local_nz + (1 if self.grid.procs[2] > 1 else 0)
+            if assembly == "auto":
+                assembly = (
+                    "mxu"
+                    if on_tpu and mxu_assembly_vmem_ok(mxu_nz)
+                    else "slab"
+                )
+            elif assembly == "mxu" and on_tpu and not mxu_assembly_vmem_ok(
+                mxu_nz
+            ):
+                raise ValueError(
+                    f"assembly='mxu': local z extent {mxu_nz} overflows "
+                    "the combine kernel's VMEM budget (whole-z tiles); "
+                    "use assembly=slab or split the z axis further"
+                )
             assemblers = {
                 "slab": assemble_stencil_soa,
                 "offsetwise": assemble_stencil_soa_v2,
@@ -339,16 +365,16 @@ class MacroProblem:
                     f"unknown assembly '{cfg.assembly}' "
                     f"(expected auto|slab|offsetwise|conv|conv2|mxu)"
                 )
-            if assembly == "mxu" and nproc > 1:
-                raise ValueError(
-                    "assembly='mxu' is single-device only (no SPMD rule "
-                    "for the Pallas combine); use auto/slab"
-                )
             assemble = assemblers[assembly]
-            A_soa = bc_mod.apply_bc_stencil_soa(
-                assemble(ctan, self.B, self.grid.wg, self.node_shape),
-                self.bc,
-            )
+            if assembly == "mxu" and nproc > 1:
+                from macroc_tpu.parallel.halo import shmap_assemble_stencil
+
+                A_raw = shmap_assemble_stencil(
+                    self.mesh, ctan_ns, self.B, self.grid.wg, assemble
+                )
+            else:
+                A_raw = assemble(ctan, self.B, self.grid.wg, self.node_shape)
+            A_soa = bc_mod.apply_bc_stencil_soa(A_raw, self.bc)
             if operator == "stencil_pallas":
                 interp = jax.default_backend() == "cpu"
                 if nproc > 1:
@@ -386,7 +412,11 @@ class MacroProblem:
                     ctan, bc_mask_soa, self.grid.spacing, cfg.ref_b_quirk,
                     A0_soa=A_soa,
                     # coarse levels use the same measured-best assembler
-                    assemble_fn=assemble,
+                    # on one device; on a mesh the coarse shapes are not
+                    # mesh-divisible, so they assemble with the GSPMD-safe
+                    # slab form (tiny next to level 0)
+                    assemble_fn=assemble if nproc == 1
+                    else assemble_stencil_soa,
                 )
                 mg_dtype = cfg.mg_dtype
                 if (
@@ -421,19 +451,31 @@ class MacroProblem:
 
                 def mv_for(level):
                     # Pallas wins only where its nz-to-128 padding is free
-                    # (see CLAUDE.md / bench) AND single-device (the raw
-                    # kernel has no SPMD rule): fine 128-multiple levels
-                    # use it, everything else the fused jnp path.
+                    # (see CLAUDE.md / bench): fine 128-multiple levels
+                    # use it, everything else the fused jnp path.  On a
+                    # device mesh, only the finest level is mesh-divisible
+                    # — it routes through the same shard_map+ppermute
+                    # composition as the CG matvec (the raw kernel has no
+                    # SPMD rule); coarse levels stay on jnp under GSPMD.
+                    interp = jax.default_backend() == "cpu"
                     lnz = level.A_soa.shape[-1]
-                    if (
+                    if operator == "stencil_pallas" and nproc == 1:
+                        if lnz >= 128 and lnz % 128 == 0:
+                            return partial(stencil_matvec_pallas,
+                                           interpret=interp)
+                    elif (
                         operator == "stencil_pallas"
-                        and nproc == 1
-                        and lnz >= 128
-                        and lnz % 128 == 0
+                        and tuple(level.A_soa.shape[-3:])
+                        == tuple(self.node_shape)
                     ):
-                        interp = jax.default_backend() == "cpu"
-                        return partial(stencil_matvec_pallas,
-                                       interpret=interp)
+                        from macroc_tpu.parallel.halo import (
+                            shmap_stencil_matvec,
+                        )
+
+                        return partial(
+                            shmap_stencil_matvec, self.mesh,
+                            kernel="pallas", interpret=interp,
+                        )
                     return stencil_matvec_soa
 
                 M = make_mg_preconditioner(
@@ -546,9 +588,11 @@ class MacroProblem:
             )
 
             def do_solve(_):
-                # padded (inactive) elements contribute zero stiffness
-                ctan = self._crop_gp(hom.ctan * emask[..., None, None])
-                res = self.linear_solve(ctan, b)
+                # padded (inactive) elements contribute zero stiffness;
+                # kept at node shape so it shards P('x','y','z') into the
+                # distributed assembler (linear_solve crops as needed)
+                ctan_ns = hom.ctan * emask[..., None, None]
+                res = self.linear_solve(ctan_ns, b)
                 return c["u"] + res.x, res.its, res.rnorm, res.reason, res.trace
 
             def no_solve(_):

@@ -211,3 +211,77 @@ def test_exchange_width_exceeding_extent_raises():
     a = jnp.zeros((8, 8, 8))
     with pytest.raises(ValueError, match="halo width"):
         ghosted_blocks(mesh, (a,), halo=(5, 1, 1))
+
+
+def test_shmap_assemble_matches_global():
+    """Distributed stencil assembly (per-device kernel + high-plane fold,
+    parallel/halo.py::shmap_assemble_stencil) must equal the global
+    single-block assembly — with the slab assembler AND with the MXU+Pallas
+    assembler in interpret mode (the multi-chip composition that keeps the
+    fast assembler engaged, VERDICT r4 #1)."""
+    from functools import partial as _partial
+
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import assemble_stencil_soa
+    from macroc_tpu.ops.assembly_pallas import assemble_stencil_soa_mxu
+    from macroc_tpu.parallel.halo import shmap_assemble_stencil
+
+    mesh = make_mesh()
+    nx = ny = nz = 8  # node shape divisible by the (2,2,2) mesh
+    rng = np.random.default_rng(7)
+    B = jnp.asarray(b_matrix((0.5, 0.5, 0.5)))
+    wg = 0.5**3 / 8.0
+    # node-shaped GP storage: trailing element slot per dim inactive/zero
+    ctan_ns = np.zeros((nx, ny, nz, 8, 6, 6))
+    ctan_ns[:-1, :-1, :-1] = rng.normal(size=(nx - 1, ny - 1, nz - 1, 8, 6, 6))
+    # symmetrize per-GP blocks (what a real tangent looks like)
+    ctan_ns = jnp.asarray((ctan_ns + ctan_ns.transpose(0, 1, 2, 3, 5, 4)) / 2)
+
+    A_ref = assemble_stencil_soa(
+        ctan_ns[:-1, :-1, :-1], B, wg, (nx, ny, nz)
+    )
+
+    A_slab = shmap_assemble_stencil(
+        mesh, ctan_ns, B, wg, assemble_stencil_soa
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_slab), np.asarray(A_ref), rtol=1e-12, atol=1e-12
+    )
+
+    A_mxu = shmap_assemble_stencil(
+        mesh, ctan_ns, B, wg,
+        _partial(assemble_stencil_soa_mxu, xblock=16, interpret=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_mxu), np.asarray(A_ref), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_shmap_assemble_unsplit_axis():
+    """A z-preserving (2,2,1)-style decomposition (what the nz%128 kernel-
+    eligibility tiebreak produces at flagship shapes): the unsplit axis
+    crops the inactive trailing element slot instead of folding."""
+    from macroc_tpu.fem.element import b_matrix
+    from macroc_tpu.fem.kernels import assemble_stencil_soa
+    from macroc_tpu.parallel.halo import shmap_assemble_stencil
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(2, 2, 1), ("x", "y", "z")
+    )
+    nx, ny, nz = 6, 4, 5
+    rng = np.random.default_rng(8)
+    B = jnp.asarray(b_matrix((0.5, 0.25, 1.0)))
+    wg = 0.5 * 0.25 * 1.0 / 8.0
+    ctan_ns = np.zeros((nx, ny, nz, 8, 6, 6))
+    ctan_ns[:-1, :-1, :-1] = rng.normal(size=(nx - 1, ny - 1, nz - 1, 8, 6, 6))
+    ctan_ns = jnp.asarray(ctan_ns)
+
+    A_ref = assemble_stencil_soa(
+        ctan_ns[:-1, :-1, :-1], B, wg, (nx, ny, nz)
+    )
+    A_out = shmap_assemble_stencil(
+        mesh, ctan_ns, B, wg, assemble_stencil_soa
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_out), np.asarray(A_ref), rtol=1e-12, atol=1e-12
+    )
