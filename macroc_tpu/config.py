@@ -137,6 +137,11 @@ class MacroConfig:
     # yield (exact by superposition; disable with
     # -micro_elastic_fastpath 0 to force the full solve everywhere).
     micro_elastic_fastpath: bool = True
+    # Full-solve sub-chunk size for the compacted active-GP work lists
+    # (constitutive/microfe.py::_solve_chunk; 0 = auto 32): localized
+    # plasticity costs ceil(n_active/chunk) full-solve waves instead of
+    # every touched 128-GP chunk.
+    micro_active_chunk: int = 0
     # Micro CG preconditioner: "auto" = shared dense elastic inverse up to
     # micro_n=10 (production size; ~5x fewer CG its, MXU-batched apply),
     # "jacobi"/"dense_elastic" force one (constitutive/microfe.py).
@@ -244,6 +249,7 @@ _INT_FLAGS = {
     "-bc_type": "bc_type",
     "-micro_n": "micro_n",
     "-micro_type": "micro_type",
+    "-micro_active_chunk": "micro_active_chunk",
     "-ksp_max_it": "ksp_maxits",
     "-ksp_gmres_restart": "gmres_restart",
     "-mg_nu": "mg_nu",

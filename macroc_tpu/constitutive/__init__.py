@@ -38,6 +38,7 @@ def make_engine(cfg, dtype):
             dtype=dtype,
             elastic_fastpath=cfg.micro_elastic_fastpath,
             precond=cfg.micro_precond,
+            active_chunk=cfg.micro_active_chunk,
         )
     raise ValueError(f"unknown constitutive engine '{kind}'")
 

@@ -38,6 +38,7 @@ import numpy as np
 
 _STEP_DIR_RE = re.compile(r"step_(\d+)$")
 _STEP_NPZ_RE = re.compile(r"step_(\d+)\.npz$")
+_STEP_OLD_RE = re.compile(r"step_(\d+)\.old$")
 
 
 def _flatten(tree: Any):
@@ -244,22 +245,29 @@ def load(path: str, like: Any) -> Any:
 
 
 def load_latest(ckpt_dir: str, like: Any) -> Optional[Tuple[int, Any]]:
-    """(step, tree) of the newest checkpoint in ckpt_dir, or None."""
+    """(step, tree) of the newest checkpoint in ckpt_dir, or None.
+
+    ``step_<N>.old`` directories (the previous copy that `save` moves aside
+    during its atomic overwrite) count as valid fallbacks when the
+    published ``step_<N>`` is absent: a crash between the move-aside and
+    the publish leaves ONLY the .old copy, which is the complete previous
+    checkpoint (ADVICE r4: resume used to silently skip it)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    best_step, best_path = -1, None
+    cands: Dict[int, Tuple[int, str]] = {}  # step -> (priority, path)
     for name in os.listdir(ckpt_dir):
         full = os.path.join(ckpt_dir, name)
-        m = _STEP_DIR_RE.match(name)
-        if m and os.path.isdir(full):
-            s = int(m.group(1))
+        if _STEP_DIR_RE.match(name) and os.path.isdir(full):
+            s, prio = int(_STEP_DIR_RE.match(name).group(1)), 1
+        elif _STEP_NPZ_RE.match(name):
+            s, prio = int(_STEP_NPZ_RE.match(name).group(1)), 1
+        elif _STEP_OLD_RE.match(name) and os.path.isdir(full):
+            s, prio = int(_STEP_OLD_RE.match(name).group(1)), 0
         else:
-            m = _STEP_NPZ_RE.match(name)
-            if not m:
-                continue
-            s = int(m.group(1))
-        if s > best_step:
-            best_step, best_path = s, full
-    if best_path is None:
+            continue
+        if s not in cands or prio > cands[s][0]:
+            cands[s] = (prio, full)
+    if not cands:
         return None
-    return best_step, load(best_path, like)
+    best_step = max(cands)
+    return best_step, load(cands[best_step][1], like)

@@ -25,3 +25,13 @@ jax.config.update("jax_enable_x64", True)
 from macroc_tpu.utils.cache import setup_runtime  # noqa: E402
 
 setup_runtime()
+# The persistent compile cache is DISABLED for the test suite: this
+# jaxlib's CPU-thunk serializer segfaults (put_executable_and_time) on the
+# batched micro-FE step executables — observed in 4 consecutive full-suite
+# runs (r5), each crashing at whichever test first serialized such a
+# program while warm reads stayed fine.  CLI/bench/TPU entry points keep
+# the cache (setup_runtime); tests pay cold compiles instead of crashing.
+jax.config.update("jax_enable_compilation_cache", False)
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_cc.reset_cache()

@@ -114,3 +114,29 @@ def test_partial_coverage_raises(tmp_path):
         json.dump(idx, f)
     with pytest.raises(ValueError, match="not fully covered"):
         ckpt.load(str(tmp_path / "step_3"), tree)
+
+
+def test_load_latest_falls_back_to_old_after_midpublish_crash(tmp_path):
+    """A crash between save's move-aside (step_<N> -> step_<N>.old) and
+    the staging publish leaves only the .old copy; resume must use it
+    instead of silently falling back to an older step (ADVICE r4)."""
+    import os
+
+    from macroc_tpu.utils import checkpoint
+
+    tree1 = (jnp.arange(6.0).reshape(2, 3), jnp.ones((4,)))
+    tree2 = (jnp.arange(6.0).reshape(2, 3) * 2, jnp.full((4,), 7.0))
+    ck = str(tmp_path)
+    checkpoint.save(ck, 1, tree1)
+    checkpoint.save(ck, 2, tree2)
+    # simulate the crash window: published copy moved aside, publish lost
+    os.replace(
+        os.path.join(ck, "step_2"), os.path.join(ck, "step_2.old")
+    )
+    got = checkpoint.load_latest(ck, tree1)
+    assert got is not None and got[0] == 2
+    for a, b in zip(got[1], tree2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a published dir still wins over a same-step .old leftover
+    checkpoint.save(ck, 2, tree2)
+    assert checkpoint.load_latest(ck, tree1)[0] == 2

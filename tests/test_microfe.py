@@ -247,3 +247,78 @@ def test_elastic_fastpath_disabled_after_commit():
     state2 = r1.trial_state  # commit
     r2 = eng.homogenize(small, state2)
     assert (np.asarray(r2.cost) > 0).all()  # full branch ran
+
+
+def test_active_set_compaction_matches_full_solve():
+    """Per-GP work lists (VERDICT r4 #2): a batch with localized
+    plasticity — a minority of GPs driven past yield, committed plastic
+    state, then an elastic increment — must match the all-full-solve
+    engine at every stage, while full solves run only on ~the active set.
+    """
+    kw = dict(
+        n=2, micro_type=MIC_LAYER_Y, mat1=MAT, mat2=SOFT,
+        dtype=jnp.float64, newton_its=6, cg_rtol=1e-12,
+        active_chunk=4,
+    )
+    fast = MicroFEEngine(**kw)
+    full = MicroFEEngine(**kw, elastic_fastpath=False)
+
+    g = 16
+    rng = np.random.default_rng(11)
+    small = rng.normal(size=(g, 6)) * 1e-5
+    # drive 3 of 16 GPs well past yield of the soft phase
+    big = small.copy()
+    big[[2, 7, 13]] *= 600.0
+    eps1 = jnp.asarray(big)
+    s_fast = fast.init_state((g,))
+    s_full = full.init_state((g,))
+
+    r_fast = fast.homogenize(eps1, s_fast)
+    r_full = full.homogenize(eps1, s_full)
+    nl = np.asarray(r_full.non_linear)
+    assert nl.sum() in (3, 4), nl.sum()  # localized plasticity, as built
+    np.testing.assert_allclose(
+        np.asarray(r_fast.stress), np.asarray(r_full.stress),
+        rtol=1e-6, atol=1e-9 * float(jnp.max(jnp.abs(r_full.stress))),
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fast.ctan), np.asarray(r_full.ctan), rtol=1e-5,
+        atol=1e-6 * float(jnp.max(jnp.abs(r_full.ctan))),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_fast.non_linear), nl
+    )
+    # work-proportionality: full solves ran on at most the active set
+    # rounded up to one active_chunk wave (trailing re-solves)
+    solved = (np.asarray(r_fast.cost) > 0).sum()
+    n_act = nl.sum()
+    assert solved <= -(-n_act // 4) * 4, (solved, n_act)
+
+    # commit, then an ELASTIC increment on top of the committed plastic
+    # state: the formerly-yielded GPs must take the incremental fast path
+    # (no chunk poisoning) and still match the full engine
+    s_fast2 = r_fast.trial_state
+    s_full2 = r_full.trial_state
+    assert float(jnp.max(jnp.abs(s_fast2.eps_p))) > 0.0
+    eps2 = eps1 * 1.001  # tiny proportional growth — stays elastic at most GPs
+    r_fast2 = fast.homogenize(jnp.asarray(eps2), s_fast2)
+    r_full2 = full.homogenize(jnp.asarray(eps2), s_full2)
+    # post-commit comparisons carry the micro Newton tolerance (1e-6
+    # relative equilibrium) of the COMMITTED u, which the incremental
+    # path inherits while a fresh full solve re-tightens — compare at
+    # that accuracy class
+    np.testing.assert_allclose(
+        np.asarray(r_fast2.stress), np.asarray(r_full2.stress),
+        rtol=1e-4, atol=1e-9 * float(jnp.max(jnp.abs(r_full2.stress))),
+    )
+    # modest unloading (5%, well inside the ~2 Sy elastic range — a full
+    # unload would re-yield in reverse under isotropic hardening): pure
+    # elastic everywhere -> ZERO full solves even though eps_p != 0
+    eps3 = jnp.asarray(big * 0.95)
+    r_fast3 = fast.homogenize(eps3, s_fast2)
+    r_full3 = full.homogenize(eps3, s_full2)
+    assert (np.asarray(r_fast3.cost) > 0).sum() == 0
+    np.testing.assert_allclose(
+        np.asarray(r_fast3.stress), np.asarray(r_full3.stress),
+        rtol=1e-4, atol=1e-9 * float(jnp.max(jnp.abs(r_full3.stress))),
+    )

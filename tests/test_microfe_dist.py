@@ -24,6 +24,7 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
 )
 
+
 CFG = dict(
     nx=5, ny=3, nz=5, lx=4.0, ly=1.0, lz=4.0,
     bc_type=BC_BENDING, dtype="float64",
@@ -103,8 +104,8 @@ def test_microfe_sharded_step_has_no_allgather():
 
 
 def test_microfe_fastpath_sharded():
-    """The chunk-level elastic fast path (lax.cond on a per-shard scalar)
-    must also compile and agree across decompositions."""
+    """The per-GP elastic fast path (incremental screen + compacted
+    active-set solves) must also compile and agree across decompositions."""
     base = dict(CFG, micro_elastic_fastpath=True)
     p1 = MacroProblem(MacroConfig(**base), n_devices=1)
     u_ref, _, d_ref = _run(p1, n_steps=1)
