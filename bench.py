@@ -28,18 +28,35 @@ HBM_GB_S = 819.0  # v5e
 # checked-in measured-best on v5e; every headline must stay within
 # GATE_TOL of its best or the bench FAILS.  Update a value ONLY with a
 # deliberate commit explaining the trade.
-GATE_TOL = 1.15
+GATE_TOL = 1.08
 BASELINES = {
-    # metric: (best value, "higher"/"lower" is better)
-    "spmv_nnz_per_s": (186.0e9, "higher"),         # r2/r3 Pallas v2
-    "newton_step_s_128cubed": (0.406, "lower"),    # r4: mxu asm + bf16 MG
-    "newton_jacobi_s_128cubed": (1.771, "lower"),  # r3
-    "microfe_gp_per_s": (1100.0, "higher"),        # r4: dense_elastic PC
-    # r4 measured 982-1134 across runs (large-dispatch variance); best set
-    # below the band floor so noise can't trip it while the 487 GP/s
-    # jacobi-class regression still fails hard
-    "microfe_gp_per_s_production": (1000.0, "higher"),
-    "fe2_full_step_s": (4.0, "lower"),             # r4 measured 3.38
+    # metric: (best value, "higher"/"lower" is better).  r5 medians-of-3;
+    # recorded spreads are <= 1.2% on every headline (timing_spreads in
+    # the JSON), so the 1.08x band is ~7 sigma — a real 10% regression
+    # trips, noise cannot.  (r4's 1.15x band + padded floors are retired:
+    # the "large-dispatch variance" it hedged against measured 0.01-1.2%.)
+    "spmv_nnz_per_s": (188.3e9, "higher"),        # Pallas v2 (4,16,128)
+    "newton_step_s_128cubed": (0.350, "lower"),   # r5: MXU-einsum ctan
+    # coarsening (65->16 ms hierarchy) + tf32 Ke matmul (70->51 ms asm) +
+    # (8,32) combine tile; identical 9 CG its
+    "newton_jacobi_s_128cubed": (1.662, "lower"),
+    "microfe_gp_per_s": (1261.0, "higher"),       # dense_elastic PC
+    # r4's BASELINE.md quoted 1134 from an ad-hoc session; driver-grade
+    # runs measure 982.6 +- 0.01% (r4 AND r5) — recorded best corrected
+    # to the reproducible number (VERDICT r4 weak #3)
+    "microfe_gp_per_s_production": (982.6, "higher"),
+    "fe2_full_step_s": (1.139, "lower"),  # r5: sequential tangent
+    # columns (lax.map) — the 6-way vmap ran every column's CG to the
+    # SLOWEST column's count; 3.374 -> 1.139 s at 10x3x10
+    # ~10% scattered yielded GPs: global active-set compaction solves
+    # ceil(205/128)=2 full-width waves -> 6.7x the all-full-solve rate
+    # (the r4 chunk predicate ran this at ~1.04x; VERDICT r4 #2)
+    "microfe_partial_gp_per_s": (6595.0, "higher"),
+    # per-device MXU+Pallas assembly at the 8-way 128^3 shard (65,33,128)
+    # — the multi-chip assembly wall-time, loop-differenced (VERDICT r4
+    # #1 done-criterion was <= ~90 ms-equivalent; 4.4x the single-chip
+    # 68 ms for 7.6x less volume = near-linear assembly scaling)
+    "assembly_shard_8way_ms": (15.4, "lower"),
 }
 
 
@@ -393,14 +410,15 @@ def bench_assembly_shmap(dtype=jnp.float32):
     # (64,32,128) minus the +1 extension on split axes x,y
     ct_shard = jnp.broadcast_to(C, (64, 32, 127, 8, 6, 6))
 
-    def asm_shard(ct):
-        return assemble_stencil_soa_mxu(ct, B, 0.125, (65, 33, 128),
-                                        xblock=16)
+    def asm_shard(ct, w):
+        A = assemble_stencil_soa_mxu(
+            ct * (1.0 + w * 1e-30), B, 0.125, (65, 33, 128), xblock=16
+        )
+        return jnp.sum(A[13, 0, 0, 0, 0]) * 1e-30 + w
 
-    c = jax.jit(asm_shard).lower(ct_shard).compile()
-    dt = _timed_dispatch(
-        lambda: float(jnp.sum(c(ct_shard)[0, 0, 0, 0, 0])),
-        label="assembly_shard_8way",
+    dt = _timed_loop(
+        asm_shard, (ct_shard, jnp.zeros((), dtype)),
+        n_lo=2, n_hi=12, label="assembly_shard_8way",
     )
     out["assembly_shard_8way_ms"] = dt * 1e3
 
@@ -414,13 +432,14 @@ def bench_assembly_shmap(dtype=jnp.float32):
     )
     asm = partial(assemble_stencil_soa_mxu, xblock=16)
 
-    def wrapped(ct):
-        return shmap_assemble_stencil(mesh, ct, B, 0.125, asm)
+    def wrapped(ct, w):
+        A = shmap_assemble_stencil(mesh, ct * (1.0 + w * 1e-30), B, 0.125,
+                                   asm)
+        return jnp.sum(A[13, 0, 0, 0, 0]) * 1e-30 + w
 
-    cw = jax.jit(wrapped).lower(ct_ns).compile()
-    dtw = _timed_dispatch(
-        lambda: float(jnp.sum(cw(ct_ns)[0, 0, 0, 0, 0])),
-        label="assembly_shmap_1x1x1",
+    dtw = _timed_loop(
+        wrapped, (ct_ns, jnp.zeros((), dtype)),
+        n_lo=2, n_hi=8, label="assembly_shmap_1x1x1",
     )
     out["assembly_shmap_1x1x1_ms"] = dtw * 1e3
     return out

@@ -143,8 +143,22 @@ def mxu_assembly_vmem_ok(nz: int, tile: Tuple[int, int] = (4, 16)) -> bool:
     return out_bytes + scratch_bytes <= int(_VMEM_LIMIT_BYTES * 0.9)
 
 
+def pick_mxu_tile(nz: int):
+    """Largest measured-fastest combine tile that fits VMEM at this z
+    extent, or None when even the smallest does not (v5e @128^3: (8,32)
+    67.0 ms < (4,16) 69.9; (8,32) only fits Z=128 — Z=256 overflows to
+    117 MB)."""
+    for tile in ((8, 32), (4, 16)):
+        if mxu_assembly_vmem_ok(nz, tile):
+            return tile
+    return None
+
+
 @functools.partial(
-    jax.jit, static_argnames=("grid_shape", "xblock", "tile", "interpret")
+    jax.jit,
+    static_argnames=(
+        "grid_shape", "xblock", "tile", "interpret", "stage1_precision",
+    ),
 )
 def assemble_stencil_soa_mxu(
     ctan: jax.Array,
@@ -154,10 +168,18 @@ def assemble_stencil_soa_mxu(
     xblock: int = 32,
     tile: Tuple[int, int] = (4, 16),
     interpret: bool = False,
+    stage1_precision: str = "highest",
 ) -> jax.Array:
     """Stencil assembly A_soa (27,3,3,nx,ny,nz): MXU Ke matmul (x-slab
     blocked) + Pallas combine.  Numerically identical to
-    assemble_stencil_soa."""
+    assemble_stencil_soa at stage1_precision="highest".
+
+    ``stage1_precision`` sets the matmul precision of the Ke einsum ONLY
+    (the combine stage is exact adds).  "tensorfloat32" cuts the 128^3
+    assembly 67 -> 51 ms at 1.35e-6 relative operator error (r5 measured)
+    — safe for the JACOBIAN/preconditioner, whose error only perturbs the
+    Newton direction; the residual path never goes through here, so the
+    convergence test stays exact.  problem.linear_solve uses it on TPU."""
     nx, ny, nz = grid_shape
     XB, TY = tile
     if TY % 8:
@@ -187,11 +209,12 @@ def assemble_stencil_soa_mxu(
     )
     # stage 1: channel-major Ke, x-slab blocked to bound the transient
     slabs = []
-    for x0 in range(0, Xp, xblock):
-        xb = min(xblock, Xp - x0)
-        slabs.append(
-            jnp.einsum("xyzgvw,kgvw->kxyz", cp[x0:x0 + xb], M4)
-        )
+    with jax.default_matmul_precision(stage1_precision):
+        for x0 in range(0, Xp, xblock):
+            xb = min(xblock, Xp - x0)
+            slabs.append(
+                jnp.einsum("xyzgvw,kgvw->kxyz", cp[x0:x0 + xb], M4)
+            )
     Ke = jnp.concatenate(slabs, axis=1)  # (576, Xp, Yp, Z)
 
     kernel = functools.partial(_combine_kernel, XB=XB, TY=TY, Z=Z)

@@ -330,21 +330,18 @@ class MacroProblem:
             on_tpu = jax.default_backend() == "tpu"
             from macroc_tpu.ops.assembly_pallas import (
                 assemble_stencil_soa_mxu,
-                mxu_assembly_vmem_ok,
+                pick_mxu_tile,
             )
 
             # z extent the per-device combine kernel will carry: local
             # nodes, +1 when the z axis is split (the folded extra plane)
             mxu_nz = local_nz + (1 if self.grid.procs[2] > 1 else 0)
+            mxu_tile = pick_mxu_tile(mxu_nz)
             if assembly == "auto":
                 assembly = (
-                    "mxu"
-                    if on_tpu and mxu_assembly_vmem_ok(mxu_nz)
-                    else "slab"
+                    "mxu" if on_tpu and mxu_tile is not None else "slab"
                 )
-            elif assembly == "mxu" and on_tpu and not mxu_assembly_vmem_ok(
-                mxu_nz
-            ):
+            elif assembly == "mxu" and on_tpu and mxu_tile is None:
                 raise ValueError(
                     f"assembly='mxu': local z extent {mxu_nz} overflows "
                     "the combine kernel's VMEM budget (whole-z tiles); "
@@ -357,7 +354,15 @@ class MacroProblem:
                 "conv2": assemble_stencil_soa_conv2,
                 "mxu": partial(
                     assemble_stencil_soa_mxu, xblock=16,
+                    tile=mxu_tile or (4, 16),
                     interpret=not on_tpu,
+                    # tf32 Ke matmul: 1.35e-6 relative operator error on
+                    # the Jacobian only (residual stays exact at highest);
+                    # 67 -> 51 ms at 128^3.  CPU (tests) keeps highest —
+                    # decomposition-identity tests compare at 1e-9.
+                    stage1_precision=(
+                        "tensorfloat32" if on_tpu else "highest"
+                    ),
                 ),
             }
             if assembly not in assemblers:

@@ -277,19 +277,31 @@ def _coarsen_elem_dim(x: jax.Array, dim: int, n_f_nodes: int) -> jax.Array:
     the fine elements between coarse nodes j and j+1 — two for regular
     intervals, one for an even extent's short tail interval).
 
-    Implemented with static-index takes, never a pad/reshape of the fine
-    tensor: a reshape that repacks the (...,8,6,6) minor dims forces an XLA
-    layout copy whose (8,128) tiling pads 6->8 x 6->128, a ~16x memory
-    blowup (37 GB at 128^3, OOMs a v5e).  (A stride-2 lax.slice variant
-    was MEASURED WORSE — 59 vs 47 ms at 128^3 — strided slicing on the
-    tiled minor dims breaks lane contiguity.)"""
+    Implemented as a contraction with a constant (nc_el, f_el) restriction
+    matrix (rows = 0.5/0.5 on each child pair; the even-extent tail's
+    single child gets 0.5+0.5 on itself) — an MXU dot_general whose batch
+    dims are everything else, bit-identical to explicit pair averaging.
+    Measured at 128^3 L1 (r5): einsum ~15-18 ms for the whole chain vs
+    jnp.take-gathers 61.6 ms (95% of the hierarchy build), pair-split
+    reshape+sum 39 ms, reduce_window 66 ms, stride-2 slicing 59 ms.  Do
+    NOT substitute a pad/reshape of the (8,6,6) minor dims — the layout
+    copy tile-pads them 16x (37 GB at 128^3)."""
     f_el = x.shape[dim]
     nc_el = coarse_size(n_f_nodes) - 1
     ia = np.minimum(2 * np.arange(nc_el), f_el - 1)
     ib = np.minimum(ia + 1, f_el - 1)
-    xa = jnp.take(x, jnp.asarray(ia), axis=dim)
-    xb = jnp.take(x, jnp.asarray(ib), axis=dim)
-    return 0.5 * (xa + xb)
+    R = np.zeros((nc_el, f_el), np.float64)
+    np.add.at(R, (np.arange(nc_el), ia), 0.5)
+    np.add.at(R, (np.arange(nc_el), ib), 0.5)
+    L = "abcdefgh"[: x.ndim]
+    sub = f"Z{L[dim]},{L}->{L[:dim]}Z{L[dim + 1:]}"
+    # tf32 passes for f32 inputs: coarse operators are preconditioner-only
+    # (1e-6 relative error; cube hierarchies cast them to bf16 anyway) and
+    # the restriction matmul is MXU-pass-count-bound.  f64 (CPU tests) is
+    # unaffected by matmul-precision settings.
+    prec = "tensorfloat32" if x.dtype == jnp.float32 else "highest"
+    with jax.default_matmul_precision(prec):
+        return jnp.einsum(sub, jnp.asarray(R, x.dtype), x)
 
 
 def coarsen_ctan(

@@ -62,6 +62,7 @@ def main(n=128):
     from macroc_tpu import bc as bc_mod
 
     setup_runtime()
+    print(f"Phase budget, {n}^3 j2/MG/f32:", flush=True)
     cfg = MacroConfig(
         nx=n, ny=n, nz=n, lx=4.0, ly=4.0, lz=4.0,
         bc_type=BC_BENDING, dtype="float32", constitutive="j2",
@@ -75,14 +76,27 @@ def main(n=128):
 
     res = {}
 
+    def rec(name, v):
+        res[name] = v
+        print(f"  {name:24s} {v * 1e3:9.1f} ms", flush=True)
+
+    # --- fused step FIRST (smallest resident set: u + state only) ---
+    def step(u, state, w):
+        u2, s2, diag = p.time_step(u * (1.0 + w * 1e-30), state, U)
+        return jnp.sum(u2[0, 0, 0]) * 1e-30 + w
+
+    rec("step(total)", timed_loop(
+        step, (u, state, jnp.zeros((), p.dtype)), n_lo=2, n_hi=6
+    ))
+
     # --- homogenize + residual ---
     def hom_res(u, state, w):
         b, norm, hom = p.residual(u * (1.0 + w * 1e-30), state)
         return norm * 1e-30 + w
 
-    res["homogenize+residual"] = timed_loop(
+    rec("homogenize+residual", timed_loop(
         hom_res, (u, state, jnp.zeros((), p.dtype))
-    )
+    ))
 
     # materialized inputs for the downstream phases
     @jax.jit
@@ -114,7 +128,7 @@ def main(n=128):
         )
         return jnp.sum(A[13, 0, 0, 0, 0]) * 1e-30 + w
 
-    res["assembly"] = timed_loop(assembly, (ctan_ns, jnp.zeros((), p.dtype)))
+    rec("assembly", timed_loop(assembly, (ctan_ns, jnp.zeros((), p.dtype))))
 
     @jax.jit
     def get_A(ct):
@@ -136,9 +150,9 @@ def main(n=128):
         )
         return jnp.sum(lv[-1].A_soa[13, 0, 0, 0, 0]) * 1e-30 + w
 
-    res["hierarchy"] = timed_loop(
+    rec("hierarchy", timed_loop(
         hier, (ctan_ns, A_soa, jnp.zeros((), p.dtype))
-    )
+    ))
 
     # --- spmv + vcycle ---
     from macroc_tpu.ops.stencil_pallas import (
@@ -153,9 +167,9 @@ def main(n=128):
         mv = stencil_matvec_pallas if on_tpu else stencil_matvec_soa
         return jnp.sum(mv(A, v * (1.0 + w * 1e-30))[0, 0, 0]) * 1e-30 + w
 
-    res["spmv"] = timed_loop(
+    rec("spmv", timed_loop(
         spmv, (A_soa, b_soa, jnp.zeros((), p.dtype)), n_lo=5, n_hi=55
-    )
+    ))
 
     import dataclasses as _dc
 
@@ -191,32 +205,21 @@ def main(n=128):
         )
         return jnp.sum(M(r * (1.0 + w * 1e-30))[0, 0, 0]) * 1e-30 + w
 
-    res["vcycle"] = timed_loop(
+    rec("vcycle", timed_loop(
         vcycle, (levels, b_soa, jnp.zeros((), p.dtype)), n_lo=2, n_hi=22
-    )
+    ))
+    del levels  # free ~4 GB of level operators before the full solve
 
     # --- full linear solve (assembly + hierarchy + PCG) ---
     def linsolve(ct, b, w):
         r = p.linear_solve(ct * (1.0 + w * 1e-30), b)
         return jnp.sum(r.x[0, 0, 0]) * 1e-30 + w
 
-    res["linear_solve(total)"] = timed_loop(
+    del A_soa
+    rec("linear_solve(total)", timed_loop(
         linsolve, (ctan_ns, b, jnp.zeros((), p.dtype)), n_lo=2, n_hi=6
-    )
+    ))
 
-    # --- fused step ---
-    def step(u, state, w):
-        u2, s2, diag = p.time_step(u * (1.0 + w * 1e-30), state, U)
-        return jnp.sum(u2[0, 0, 0]) * 1e-30 + w
-
-    res["step(total)"] = timed_loop(
-        step, (u, state, jnp.zeros((), p.dtype)), n_lo=2, n_hi=6
-    )
-
-    print(f"\nPhase budget, {n}^3 j2/MG/f32 "
-          f"({jax.devices()[0].device_kind}):")
-    for k, v in res.items():
-        print(f"  {k:24s} {v * 1e3:9.1f} ms")
     known = sum(
         v for k, v in res.items()
         if k in ("homogenize+residual", "linear_solve(total)")
