@@ -652,11 +652,21 @@ class MicroFEEngine:
         # the 26x3x26 FE2 bench shard); the structured reshape happens at
         # the radial-return use site inside one fusion.
         deps = eps_c - self._eps_from_u(u_c)
-        eps_comm = jax.vmap(
-            lambda u: jnp.ravel(
-                compute_strains(u.reshape(mshape3), self.B)
-            )
-        )(u_c)
+        # tf32 passes for the committed-strain einsum (f32 solves only):
+        # it feeds the screen predicate and the elastic-branch stress at
+        # 1e-6 relative — far inside the micro Newton tolerance class —
+        # and at `highest` the 6-pass batched einsum alone halved the
+        # screen throughput (287k -> 129k GP/s at the production
+        # population, r5 measured; tf32 recovers most of it)
+        prec = (
+            "tensorfloat32" if self.dtype == jnp.float32 else "highest"
+        )
+        with jax.default_matmul_precision(prec):
+            eps_comm = jax.vmap(
+                lambda u: jnp.ravel(
+                    compute_strains(u.reshape(mshape3), self.B)
+                )
+            )(u_c)
         eps_gp = (
             eps_comm + jnp.einsum("gj,jF->gF", deps, E)
         ).reshape((g, n, n, n, 8, 6))

@@ -32,8 +32,10 @@ Channel orders:
   Ke  : k = a*72 + (d*8 + b)*3 + e        (a-major, see _pair_matrix_a)
   A   : K = o*9  + d*3 + e, o = offset_index(off_b - off_a)
 
-Constraint: the whole (128-padded) z extent must fit one block — VMEM
-bounds this at nz <= ~256; larger grids use the slab assembler.
+Constraint: the whole (128-padded) z extent must fit one block — the
+(4,16) tile fits through Z=512 (compiled+run on v5e, r5) and the budget
+formula (mxu_assembly_vmem_ok) caps out just past Z=640; larger local z
+falls back to the slab assembler via pick_mxu_tile -> None.
 """
 
 from __future__ import annotations
