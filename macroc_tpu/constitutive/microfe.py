@@ -145,6 +145,7 @@ class MicroFEEngine:
         elastic_fastpath: bool = True,
         precond: str = "auto",
         active_chunk: int = 0,
+        screen_chunk: int = 0,
     ):
         self.n = n
         self.micro_type = micro_type
@@ -185,6 +186,11 @@ class MicroFEEngine:
         # cost now scales with #active GPs, matching MicroPP's localized-
         # plasticity cost model, reference src/output.c:179-187).
         self.elastic_fastpath = elastic_fastpath
+        # Elastic-screen streaming chunk (0 = auto: gp_chunk).  Wider was
+        # measured WORSE on v5e at the production population (128-wide
+        # 135.8k GP/s, 4096-wide 72k and OOM-prone): the screen's strain
+        # temporaries blow past cache/VMEM working sets.  Kept as a knob.
+        self.screen_chunk = screen_chunk
         # full-solve WAVE width for the compacted active set (0 = auto:
         # gp_chunk).  Waves must stay near gp_chunk: batched RVE solves
         # underutilize the chip at small widths (the dense-PC apply is a
@@ -339,7 +345,7 @@ class MicroFEEngine:
                 str(self.dtype), self.newton_its, self.newton_rtol,
                 self.cg_rtol, self.cg_maxits, self.tangent_cg_rtol,
                 self.gp_chunk, self.elastic_fastpath, self.precond,
-                self.active_chunk)
+                self.active_chunk, self.screen_chunk)
 
     def __hash__(self):
         return hash(self._key())
@@ -643,52 +649,89 @@ class MicroFEEngine:
         n = self.n
         mshape3 = self.mshape + (3,)
         eps_p_v, alpha_v, _ = self._unflat_state(eps_p_c, alpha_c, u_c)
-        # candidate strains: eps(u_c) + (eps - eps_prev)_j E_j — linear in
-        # the increment, so strains superpose exactly; E is flat
-        # (6, n^3*8*6) so the chunked products keep a big minor.  The
-        # vmapped strain field is FLATTENED inside the vmap (a structured
-        # (g,m,m,m,3)/(g,n,n,n,8,6) vmap output materializes with 28.4x
-        # tile-padded minors — measured 321 MB remat copies that OOMed
-        # the 26x3x26 FE2 bench shard); the structured reshape happens at
-        # the radial-return use site inside one fusion.
-        deps = eps_c - self._eps_from_u(u_c)
-        # tf32 passes for the committed-strain einsum (f32 solves only):
-        # it feeds the screen predicate and the elastic-branch stress at
-        # 1e-6 relative — far inside the micro Newton tolerance class —
-        # and at `highest` the 6-pass batched einsum alone halved the
-        # screen throughput (287k -> 129k GP/s at the production
-        # population, r5 measured; tf32 recovers most of it)
-        prec = (
-            "tensorfloat32" if self.dtype == jnp.float32 else "highest"
-        )
-        with jax.default_matmul_precision(prec):
-            eps_comm = jax.vmap(
-                lambda u: jnp.ravel(
-                    compute_strains(u.reshape(mshape3), self.B)
-                )
-            )(u_c)
-        eps_gp = (
-            eps_comm + jnp.einsum("gj,jF->gF", deps, E)
-        ).reshape((g, n, n, n, 8, 6))
-        stress, _, _, _, f_trial, plastic = j2_radial_return(
-            eps_gp, eps_p_v, alpha_v, self.lam, self.mu, self.Sy, self.Ka
-        )
-        active = jnp.any(plastic, axis=(1, 2, 3, 4))  # (g,)
 
-        sigma = jnp.sum(stress * self.wg, axis=(1, 2, 3, 4)) / self.volume
-        u_new = u_c + jnp.einsum("gj,jF->gF", deps, U)
-        return (
-            sigma,
-            jnp.broadcast_to(C_hom, (g, 6, 6)),
-            eps_p_c,
-            alpha_c,
-            u_new,
-            jnp.zeros((g,), bool),
-            jnp.max(f_trial, axis=(1, 2, 3, 4)),
-            jnp.zeros((g,), jnp.int32),
-            jnp.zeros((g,), bool),
-            active,
+        def outs(stress, f_trial, u_new):
+            # NOTE: no eps_p/alpha entries — the screen never changes
+            # them, and streaming 6.6 GB of committed state through the
+            # lax.map output stacking (plus its re-read) was pure waste;
+            # homogenize aliases the ORIGINAL arrays into the result
+            sigma = (
+                jnp.sum(stress * self.wg, axis=(1, 2, 3, 4)) / self.volume
+            )
+            return (
+                sigma,
+                jnp.broadcast_to(C_hom, (g, 6, 6)),
+                u_new,
+                jnp.zeros((g,), bool),
+                jnp.max(f_trial, axis=(1, 2, 3, 4)),
+                jnp.zeros((g,), jnp.int32),
+                jnp.zeros((g,), bool),
+            )
+
+        def pristine_screen(_):
+            # all internal vars in this chunk are zero: the candidate is
+            # pure superposition u = eps.U and the trial strain field is
+            # eps.E directly — no committed-strain einsum at all (the
+            # elastic production epochs run at this branch's ~290k GP/s
+            # vs ~135k for the incremental screen, r5 measured)
+            eps_gp = jnp.einsum("gj,jF->gF", eps_c, E).reshape(
+                (g, n, n, n, 8, 6)
+            )
+            # literal zeros, NOT eps_p_v: the branch predicate guarantees
+            # them, and the structured (...,8,6)-minor views of the flat
+            # state read tile-padded — a large avoidable stream here
+            z6 = jnp.zeros((), self.dtype)
+            stress, _, _, _, f_trial, plastic = j2_radial_return(
+                eps_gp, jnp.broadcast_to(z6, eps_gp.shape),
+                jnp.broadcast_to(z6, eps_gp.shape[:-1]),
+                self.lam, self.mu, self.Sy, self.Ka,
+            )
+            u_new = jnp.einsum("gj,jF->gF", eps_c, U)
+            return outs(stress, f_trial, u_new) + (
+                jnp.any(plastic, axis=(1, 2, 3, 4)),
+            )
+
+        def incremental_screen(_):
+            # candidate strains: eps(u_c) + (eps - eps_prev)_j E_j —
+            # linear in the increment, so strains superpose exactly; E is
+            # flat (6, n^3*8*6) so the chunked products keep a big minor.
+            # The vmapped strain field is FLATTENED inside the vmap (a
+            # structured (g,m,m,m,3)-class vmap output materializes with
+            # 28.4x tile-padded minors — measured 321 MB remat copies
+            # that OOMed the 26x3x26 FE2 bench shard); the structured
+            # reshape happens at the radial-return use site inside one
+            # fusion.  tf32 passes for the committed-strain einsum (f32
+            # solves only): it feeds the screen predicate and the
+            # elastic-branch stress at 1e-6 relative — far inside the
+            # micro Newton tolerance class.
+            deps = eps_c - self._eps_from_u(u_c)
+            prec = (
+                "tensorfloat32" if self.dtype == jnp.float32 else "highest"
+            )
+            with jax.default_matmul_precision(prec):
+                eps_comm = jax.vmap(
+                    lambda u: jnp.ravel(
+                        compute_strains(u.reshape(mshape3), self.B)
+                    )
+                )(u_c)
+            eps_gp = (
+                eps_comm + jnp.einsum("gj,jF->gF", deps, E)
+            ).reshape((g, n, n, n, 8, 6))
+            stress, _, _, _, f_trial, plastic = j2_radial_return(
+                eps_gp, eps_p_v, alpha_v, self.lam, self.mu, self.Sy,
+                self.Ka,
+            )
+            u_new = u_c + jnp.einsum("gj,jF->gF", deps, U)
+            return outs(stress, f_trial, u_new) + (
+                jnp.any(plastic, axis=(1, 2, 3, 4)),
+            )
+
+        pristine = jnp.logical_and(
+            jnp.max(jnp.abs(eps_p_c)) == 0.0,
+            jnp.max(jnp.abs(alpha_c)) == 0.0,
         )
+        return jax.lax.cond(pristine, pristine_screen, incremental_screen,
+                            None)
 
     def _solve_compacted(self, out, active, eps_f, eps_p_f, alpha_f, u_f):
         """GLOBAL active-set compaction: indices of the WHOLE shard
@@ -744,12 +787,13 @@ class MicroFEEngine:
         alpha_f = state.alpha.reshape((flat,) + state.alpha.shape[len(batch):])
         u_f = state.u.reshape((flat,) + state.u.shape[len(batch):])
 
-        chunk = self.gp_chunk
         if self.elastic_fastpath:
             basis = self._elastic_basis()
             run = partial(self._screen_chunk, basis)   # 10 outputs
+            chunk = self.screen_chunk or self.gp_chunk
         else:
             run = jax.vmap(self._micro_solve)          # 9 outputs
+            chunk = self.gp_chunk
 
         if flat <= chunk:
             out = run(eps_f, eps_p_f, alpha_f, u_f)
@@ -787,9 +831,15 @@ class MicroFEEngine:
                     for a, b in zip(out, t)
                 )
         if self.elastic_fastpath:
-            # GLOBAL compaction of the active set into full-width waves
+            # re-assemble the 9-output tuple: committed eps_p/alpha are
+            # ALIASED (the screen cannot change them; compaction scatters
+            # in place), then GLOBAL compaction of the active set into
+            # full-width waves
+            sigma_s, ctan_s, u_s, nl_s, ft_s, cost_s, unc_s, active = out
             out = self._solve_compacted(
-                out[:9], out[9], eps_f, eps_p_f, alpha_f, u_f
+                (sigma_s, ctan_s, eps_p_f, alpha_f, u_s, nl_s, ft_s,
+                 cost_s, unc_s),
+                active, eps_f, eps_p_f, alpha_f, u_f,
             )
         sigma, ctan, eps_p_n, alpha_n, u_n, nl, f_tr, cost, unconv = out
 
